@@ -4,8 +4,9 @@ code path (mesh, pjit, collectives) is exercised without TPU hardware."""
 import os
 import sys
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import anywhere in the test process. Force CPU:
+# the test suite validates sharding on 8 virtual devices; bench.py covers TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
