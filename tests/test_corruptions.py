@@ -1,0 +1,93 @@
+"""Corruption-suite tests: shape/range, determinism, severity monotonicity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fav_tpu.ops.corruptions import CORRUPTION_NAMES, apply_corruption
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_batch(b=4, h=32, w=32):
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 0.5 + 0.3 * np.sin(xx / 5.0)[..., None] * np.cos(yy / 7.0)[..., None]
+    imgs = np.broadcast_to(base, (b, h, w, 1)) + 0.2 * rng.random((b, h, w, 3))
+    return jnp.asarray(np.clip(imgs, 0, 1), jnp.float32)
+
+
+BATCH = make_batch()
+
+
+def test_all_fifteen_present():
+    assert len(CORRUPTION_NAMES) == 15
+    expected = {
+        "gaussian_noise", "shot_noise", "impulse_noise",
+        "defocus_blur", "glass_blur", "motion_blur", "zoom_blur",
+        "snow", "frost", "fog",
+        "brightness", "contrast", "elastic_transform", "pixelate", "jpeg_compression",
+    }
+    assert set(CORRUPTION_NAMES) == expected
+
+
+@pytest.mark.parametrize("name", CORRUPTION_NAMES)
+@pytest.mark.parametrize("severity", [1, 3, 5])
+def test_shape_dtype_range(name, severity):
+    out = apply_corruption(name, KEY, BATCH, severity)
+    assert out.shape == BATCH.shape
+    assert out.dtype == BATCH.dtype
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    assert o.min() >= 0.0 and o.max() <= 1.0
+
+
+@pytest.mark.parametrize("name", CORRUPTION_NAMES)
+def test_deterministic_given_key(name):
+    a = np.asarray(apply_corruption(name, KEY, BATCH, 3))
+    b = np.asarray(apply_corruption(name, KEY, BATCH, 3))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name", CORRUPTION_NAMES)
+def test_severity_monotone_distortion(name):
+    """Mean distortion (L2 from clean) should not decrease with severity."""
+    dists = []
+    for severity in (1, 3, 5):
+        out = np.asarray(apply_corruption(name, KEY, BATCH, severity))
+        dists.append(float(np.sqrt(np.mean((out - np.asarray(BATCH)) ** 2))))
+    assert dists[0] > 0.0, "severity 1 must actually distort"
+    assert dists[2] >= dists[0] * 1.05, f"severity 5 not stronger than 1: {dists}"
+
+
+@pytest.mark.parametrize("name", ["gaussian_noise", "impulse_noise", "elastic_transform", "glass_blur"])
+def test_different_keys_differ(name):
+    a = np.asarray(apply_corruption(name, jax.random.PRNGKey(1), BATCH, 3))
+    b = np.asarray(apply_corruption(name, jax.random.PRNGKey(2), BATCH, 3))
+    assert not np.array_equal(a, b)
+
+
+def test_jpeg_blocking_artifact_structure():
+    """JPEG round-trip must preserve rough content but quantize detail."""
+    out = np.asarray(apply_corruption("jpeg_compression", KEY, BATCH, 5))
+    clean = np.asarray(BATCH)
+    assert abs(out.mean() - clean.mean()) < 0.05  # DC preserved
+    assert np.sqrt(np.mean((out - clean) ** 2)) > 0.01  # detail lost
+
+
+def test_contrast_reduces_variance():
+    out = np.asarray(apply_corruption("contrast", KEY, BATCH, 5))
+    assert out.std() < np.asarray(BATCH).std() * 0.3
+
+
+def test_brightness_shifts_mean():
+    out = np.asarray(apply_corruption("brightness", KEY, BATCH, 3))
+    assert out.mean() > np.asarray(BATCH).mean() + 0.1
+
+
+def test_pixelate_reduces_unique_blocks():
+    out = np.asarray(apply_corruption("pixelate", KEY, BATCH, 5))
+    # nearest-upsampled image has large constant runs
+    diffs = np.abs(np.diff(out, axis=2))
+    assert (diffs == 0).mean() > 0.5
