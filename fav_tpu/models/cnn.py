@@ -1,0 +1,126 @@
+"""Flax models: the failure-aware CNN classifier and the conv autoencoder.
+
+The reference's ML component is an *absent* PyTorch conv-AE trained on normal
+frames, with reconstruction MSE as the anomaly signal (reference
+docs/system_notes.md:146-198; proxied in-repo by
+platform/backend/anomaly_simulator.py). The TPU build provides both:
+
+* :class:`FailureAwareCNN` — a VGG-style CIFAR-10 classifier whose softmax
+  confidence drives the failure detector ("failure = incorrect prediction
+  with high confidence", reference README.md:22-24),
+* :class:`ConvAutoencoder` — a strided conv encoder/decoder whose
+  reconstruction error reproduces the reference's anomaly-as-reconstruction
+  design, including its documented BLANK blind spot (an AE trained on lit
+  frames reconstructs black frames easily — anomaly stays LOW,
+  reference anomaly_simulator.py:65-70).
+
+TPU design notes:
+
+* compute in **bfloat16** (MXU-native), params + logits in float32,
+* all spatial dims stay powers of two (32 -> 16 -> 8 -> 4) so XLA tiles convs
+  onto the MXU without padding waste,
+* dropout is expressed with an explicit rng so MC-dropout is a pure
+  ``vmap`` over keys (no global RNG state),
+* no data-dependent Python control flow — the whole forward is one traced
+  graph.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fav_tpu.config import ModelParams
+
+__all__ = ["FailureAwareCNN", "ConvAutoencoder", "create_model", "create_autoencoder"]
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
+
+
+class FailureAwareCNN(nn.Module):
+    """VGG-style CNN: N stages of [conv-GN-relu x2, stride-2 conv], then GAP
+    and a dense head. GroupNorm (not BatchNorm) keeps the forward pure — no
+    mutable batch stats to thread through vmap/pjit, and per-example
+    normalization is what a single-frame streaming service needs anyway.
+    """
+
+    num_classes: int = 10
+    widths: Sequence[int] = (64, 128, 256)
+    dense_width: int = 256
+    dropout_rate: float = 0.1
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        dt = _dtype(self.compute_dtype)
+        x = x.astype(dt)
+        for width in self.widths:
+            for _ in range(2):
+                x = nn.Conv(width, (3, 3), padding="SAME", dtype=dt)(x)
+                x = nn.GroupNorm(num_groups=min(32, width), dtype=dt)(x)
+                x = nn.relu(x)
+            # strided conv downsample (cheaper than pool+conv on MXU)
+            x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME", dtype=dt)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = jnp.mean(x, axis=(-3, -2))  # global average pool
+        x = nn.Dense(self.dense_width, dtype=dt)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        # logits in float32: softmax/temperature math needs the precision
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+class ConvAutoencoder(nn.Module):
+    """Strided conv AE, 32x32x3 -> 4x4xlatent -> 32x32x3.
+
+    Trained on *normal* frames only; per-image reconstruction MSE is the
+    anomaly score (reference docs/system_notes.md:146-170). Output passes
+    through a sigmoid so targets in [0,1] are matched at the codomain.
+    """
+
+    widths: Sequence[int] = (32, 64, 128)
+    latent: int = 128
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = _dtype(self.compute_dtype)
+        h = x.astype(dt)
+        for width in self.widths:
+            h = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME", dtype=dt)(h)
+            h = nn.relu(h)
+        h = nn.Conv(self.latent, (3, 3), padding="SAME", dtype=dt)(h)
+        h = nn.relu(h)
+        for width in reversed(self.widths):
+            h = nn.ConvTranspose(width, (3, 3), strides=(2, 2), padding="SAME", dtype=dt)(h)
+            h = nn.relu(h)
+        h = nn.Conv(x.shape[-1], (3, 3), padding="SAME", dtype=jnp.float32)(h)
+        return nn.sigmoid(h)
+
+    @staticmethod
+    def reconstruction_error(recon: jax.Array, x: jax.Array) -> jax.Array:
+        """Per-image MSE — the reference's anomaly scalar
+        (anomaly_simulator.py:1-9 proxies exactly this)."""
+        return jnp.mean((recon - x.astype(recon.dtype)) ** 2, axis=(-3, -2, -1))
+
+
+def create_model(params: ModelParams | None = None) -> FailureAwareCNN:
+    p = params or ModelParams()
+    return FailureAwareCNN(
+        num_classes=p.num_classes,
+        widths=tuple(p.widths),
+        dense_width=p.dense_width,
+        dropout_rate=p.dropout_rate,
+        compute_dtype=p.compute_dtype,
+    )
+
+
+def create_autoencoder(params: ModelParams | None = None) -> ConvAutoencoder:
+    p = params or ModelParams()
+    return ConvAutoencoder(compute_dtype=p.compute_dtype)

@@ -1,0 +1,178 @@
+"""Training: jitted optax train steps for the classifier, autoencoder, and
+vmapped ensembles — mesh-shardable without code change.
+
+The reference repo trains nothing (its PyTorch AE lives outside the repo,
+reference requirements.txt:1-2, docs/system_notes.md:146-170). Here training
+is a first-class, TPU-native path:
+
+* one compiled ``train_step`` per model; loss in float32, forward compute in
+  bfloat16 (set by the model),
+* ensembles train as a ``vmap`` over the member axis of stacked params —
+  M members advance in one XLA program; sharding the member axis over the
+  mesh's ensemble dimension trains member-per-device,
+* ``donate_argnums`` on (params, opt_state) so XLA reuses their HBM buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "classifier_train_step",
+    "classifier_eval_step",
+    "autoencoder_train_step",
+    "make_ensemble_train_step",
+    "train_classifier",
+    "train_autoencoder",
+]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(
+    params: Any, learning_rate: float = 1e-3, weight_decay: float = 1e-4
+) -> tuple[TrainState, optax.GradientTransformation]:
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def _ce_loss(apply_fn, params, images, labels, key):
+    logits = apply_fn(params, images, train=True, rngs={"dropout": key})
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+    return loss, acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def classifier_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+) -> tuple[TrainState, dict]:
+    (loss, acc), grads = jax.value_and_grad(
+        lambda p: _ce_loss(apply_fn, p, images, labels, key), has_aux=True
+    )(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), {"loss": loss, "accuracy": acc}
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def classifier_eval_step(apply_fn: Callable, params: Any, images: jax.Array, labels: jax.Array):
+    logits = apply_fn(params, images)
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+    return {"loss": loss, "accuracy": acc, "logits": logits}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def autoencoder_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    images: jax.Array,
+) -> tuple[TrainState, dict]:
+    """AE trains on *normal* images only (reference docs/system_notes.md:150-156)."""
+
+    def loss_fn(p):
+        recon = apply_fn(p, images)
+        return jnp.mean((recon - images.astype(recon.dtype)) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+
+def make_ensemble_train_step(apply_fn: Callable, tx: optax.GradientTransformation):
+    """Train-step over stacked ensemble params: vmap of the single-member
+    update. Each member sees the same batch but independent dropout keys
+    (bagging comes from independent inits — the standard deep-ensembles
+    recipe). The member axis is shardable over the mesh."""
+
+    def member_step(state: TrainState, images, labels, key):
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p: _ce_loss(apply_fn, p, images, labels, key), has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": loss, "accuracy": acc}
+
+    vstep = jax.vmap(member_step, in_axes=(0, None, None, 0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(states: TrainState, images, labels, key):
+        keys = jax.random.split(key, states.step.shape[0])
+        return vstep(states, images, labels, keys)
+
+    return step
+
+
+def train_classifier(
+    model,
+    dataset,
+    num_steps: int = 800,
+    batch_size: int = 128,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+    log_every: int = 0,
+) -> tuple[Any, dict]:
+    """Convenience host loop: train the CNN, return (params, final metrics)."""
+    from fav_tpu.data.cifar import batch_iterator
+
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    sample = jnp.zeros((1,) + dataset.train_images.shape[1:], jnp.float32)
+    params = model.init(init_key, sample)
+    state, tx = create_train_state(params, learning_rate)
+
+    it = batch_iterator(dataset.train_images, dataset.train_labels, batch_size, seed=seed)
+    metrics = {}
+    for i in range(num_steps):
+        images, labels = next(it)
+        key, step_key = jax.random.split(key)
+        state, metrics = classifier_train_step(
+            model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), step_key
+        )
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i+1}: loss={float(metrics['loss']):.4f} acc={float(metrics['accuracy']):.4f}")
+    return state.params, {k: float(v) for k, v in metrics.items()}
+
+
+def train_autoencoder(
+    model,
+    images,
+    num_steps: int = 500,
+    batch_size: int = 128,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+) -> tuple[Any, dict]:
+    import numpy as np
+
+    from fav_tpu.data.cifar import batch_iterator
+
+    key = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((1,) + images.shape[1:], jnp.float32)
+    params = model.init(key, sample)
+    state, tx = create_train_state(params, learning_rate)
+    dummy_labels = np.zeros(images.shape[0], np.int32)
+    it = batch_iterator(images, dummy_labels, batch_size, seed=seed)
+    metrics = {}
+    for _ in range(num_steps):
+        batch, _ = next(it)
+        state, metrics = autoencoder_train_step(model.apply, tx, state, jnp.asarray(batch))
+    return state.params, {k: float(v) for k, v in metrics.items()}

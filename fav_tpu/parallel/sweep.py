@@ -1,0 +1,114 @@
+"""Corruption sweeps: the 15-corruptions x 5-severities evaluation grid,
+single-chip or sharded over a mesh.
+
+This is the TPU build's replacement for the reference's UI-slider fault
+injection (reference vision_simulator.py:25-36, app.js:1119-1163): corruption
+becomes *data* — every (corruption, severity) cell runs the real model and
+scores failure detection (SURVEY.md §5.3). The grid is embarrassingly
+parallel; images shard over the mesh's data axis and XLA emits the psum for
+cross-device metric reductions. One jitted program per corruption name
+(severity is static, so each (name, severity) pair compiles once and is
+cached).
+
+Outputs per cell: accuracy, mean confidence, mean entropy, failure-detection
+AUROC (uncertainty ranks misclassifications), and the anomaly scalar the
+trust engine consumes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fav_tpu.models.calibration import auroc, failure_labels
+from fav_tpu.models.uncertainty import anomaly_from_confidence
+from fav_tpu.ops.corruptions import CORRUPTION_NAMES, SEVERITIES, corruption_fn
+
+__all__ = ["corruption_sweep", "sharded_sweep", "sweep_cell"]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def sweep_cell(
+    name: str,
+    apply_fn: Callable,
+    params: Any,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    severity: int,
+    temperature: jax.Array | float = 1.0,
+) -> dict[str, jax.Array]:
+    """One (corruption, severity) cell: corrupt -> forward -> score.
+
+    The corruption and the forward pass fuse into one XLA program — corrupted
+    images never round-trip to HBM as a separate materialized dataset the way
+    CIFAR-10-C ships as files.
+    """
+    corrupted = corruption_fn(name)(key, images, severity)
+    logits = apply_fn(params, corrupted)
+    probs = jax.nn.softmax(logits / temperature, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    preds = jnp.argmax(probs, axis=-1)
+    fails = failure_labels(preds, labels)
+    logp = jnp.log(jnp.where(probs > 0, probs, 1.0))
+    entropy = -jnp.sum(probs * logp, axis=-1)
+    return {
+        "accuracy": jnp.mean((preds == labels).astype(jnp.float32)),
+        "mean_confidence": jnp.mean(conf),
+        "mean_entropy": jnp.mean(entropy),
+        "failure_rate": jnp.mean(fails.astype(jnp.float32)),
+        "auroc": auroc(1.0 - conf, fails),
+        "mean_anomaly": jnp.mean(anomaly_from_confidence(conf)),
+    }
+
+
+def corruption_sweep(
+    apply_fn: Callable,
+    params: Any,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    corruptions: Sequence[str] = CORRUPTION_NAMES,
+    severities: Sequence[int] = SEVERITIES,
+    temperature: jax.Array | float = 1.0,
+) -> dict[str, dict[int, dict[str, float]]]:
+    """Full grid on the current default device/sharding. Returns
+    ``{corruption: {severity: metrics}}`` as host floats."""
+    results: dict[str, dict[int, dict[str, float]]] = {}
+    for name in corruptions:
+        per_sev = {}
+        for sev in severities:
+            key, k = jax.random.split(key)
+            cell = sweep_cell(name, apply_fn, params, images, labels, k, sev, temperature)
+            per_sev[sev] = {m: float(v) for m, v in cell.items()}
+        results[name] = per_sev
+    return results
+
+
+def sharded_sweep(
+    mesh: Mesh,
+    apply_fn: Callable,
+    params: Any,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    corruptions: Sequence[str] = CORRUPTION_NAMES,
+    severities: Sequence[int] = SEVERITIES,
+    temperature: jax.Array | float = 1.0,
+) -> dict[str, dict[int, dict[str, float]]]:
+    """Same grid with images/labels sharded over the mesh's data axis and
+    params replicated. The per-cell jitted program is unchanged — XLA inserts
+    the ICI collectives for the scalar reductions (SURVEY.md §5.8)."""
+    img_sh = NamedSharding(mesh, P("data", None, None, None))
+    lbl_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    images = jax.device_put(images, img_sh)
+    labels = jax.device_put(labels, lbl_sh)
+    params = jax.device_put(params, rep)
+    return corruption_sweep(
+        apply_fn, params, images, labels, key, corruptions, severities, temperature
+    )

@@ -1,0 +1,405 @@
+"""The decision-support application: routes, streaming loop, playground.
+
+Behavioral parity target: ``platform/backend/main.py``. Same surface —
+
+* pages ``/``, ``/architecture``, ``/playground`` (main.py:50-65),
+* ``GET /health`` liveness (main.py:70-72),
+* ``POST /api/upload-video`` with the extension whitelist
+  .mp4/.avi/.mov/.mkv/.webm (main.py:77-94),
+* ``WS /ws`` — per-connection component set and a tick loop at an adjustable
+  1-60 Hz rate with simulation / webcam / video-file source modes
+  (main.py:105-317),
+* ``WS /ws/playground`` — batch event-sequence replay at fixed dt = 1/30
+  with a fresh engine and seed-99 anomaly stream (main.py:322-366),
+
+and the same control actions: ``set_source_mode, set_vision, set_noise,
+set_brightness, reset, set_tick_rate, get_log`` (main.py:210-304).
+
+TPU-native difference: the playground replay runs as ONE compiled
+``lax.scan`` over the trust recurrence (:mod:`fav_tpu.core.trust_jax`)
+instead of a Python per-tick loop — the event list is expanded to per-tick
+arrays on the host, executed on device, and serialized back. Live-mode frame
+analysis goes through the batched JAX signal analyzer.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fav_tpu.config import DEFAULT_CONFIG, FrameworkConfig, STATUS_CODES, policy_name
+from fav_tpu.core.attribution import FailureAttributor
+from fav_tpu.core.session_log import SessionLogger
+from fav_tpu.core.trust import TrustEngine
+from fav_tpu.io.jpeg import frame_to_base64_jpeg
+from fav_tpu.io.video import VideoSource
+from fav_tpu.ops.signal import SignalAnalyzer
+from fav_tpu.serving.httpws import HttpServer, Request, Response, WebSocket, WebSocketClosed
+from fav_tpu.sim.anomaly_sim import AnomalySimulator
+from fav_tpu.sim.vision_sim import VisionSimulator
+
+__all__ = ["create_app", "ConnectionState", "run_playground_sequence", "main"]
+
+_FRONTEND_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "frontend")
+
+STREAM_SEED = 42  # reference main.py:112
+PLAYGROUND_SEED = 99  # reference main.py:327
+
+
+@dataclass
+class ConnectionState:
+    """Per-connection component set (reference main.py:105-118)."""
+
+    config: FrameworkConfig
+    engine: TrustEngine = None
+    vision: VisionSimulator = None
+    anomaly: AnomalySimulator = None
+    logger: SessionLogger = None
+    attributor: FailureAttributor = None
+    analyzer: SignalAnalyzer = None
+    video: VideoSource = None
+    source_mode: str = "simulation"
+    tick_rate: float = 30.0
+    last_time: float = 0.0
+    last_frame_id: int = 0
+    last_analysis: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        cfg = self.config
+        self.engine = TrustEngine(cfg.trust)
+        self.vision = VisionSimulator()
+        self.anomaly = AnomalySimulator(seed=STREAM_SEED, params=cfg.anomaly_sim)
+        self.logger = SessionLogger()
+        self.attributor = FailureAttributor()
+        self.analyzer = SignalAnalyzer(cfg.analyzer)
+        self.video = VideoSource(cfg.video)
+        self.tick_rate = float(cfg.video.default_tick_rate)
+
+    def reset(self) -> None:
+        """Full reset with reseeded RNG (reference main.py:284-291)."""
+        self.engine.reset()
+        self.vision.reset()
+        self.anomaly.reset(STREAM_SEED)
+        self.logger.reset()
+        self.attributor.reset()
+        self.analyzer.reset()
+        self.last_frame_id = 0
+        self.last_analysis = {}
+
+
+async def _tick_sim(conn: ConnectionState, dt: float) -> dict:
+    """Simulation-mode tick (reference main.py:134-149)."""
+    status = conn.vision.get_vision_status()
+    score = conn.anomaly.compute_anomaly(
+        conn.vision.noise_level, conn.vision.brightness, status
+    )
+    state = conn.engine.update(status, score, dt)
+    state["anomaly_score"] = round(score, 6)
+    state["dt"] = round(dt, 4)
+    state["frame"] = conn.vision.get_frame_descriptor()
+    return state
+
+
+async def _tick_live(conn: ConnectionState, dt: float) -> dict:
+    """Live-mode tick: frame -> metrics -> trust (reference main.py:151-188)."""
+    frame, frame_id = conn.video.get_frame()
+    if frame is None:
+        state = conn.engine.get_state()
+        state["waiting_for_frame"] = True
+        state["dt"] = round(dt, 4)
+        return state
+    is_new = frame_id != conn.last_frame_id
+    if is_new:
+        # analysis runs off the event loop — cv2/JAX work must not stall WS IO
+        conn.last_analysis = await asyncio.to_thread(conn.analyzer.analyze_frame, frame)
+        conn.last_frame_id = frame_id
+    analysis = conn.last_analysis
+    state = conn.engine.update(analysis["vision_status"], analysis["anomaly_score"], dt)
+    state["anomaly_score"] = analysis["anomaly_score"]
+    state["signal_metrics"] = analysis["metrics"]
+    state["dt"] = round(dt, 4)
+    state["frame_id"] = frame_id
+    if is_new:
+        encoded = await asyncio.to_thread(
+            frame_to_base64_jpeg, frame, conn.config.video.jpeg_quality
+        )
+        if encoded:
+            state["video_frame"] = encoded
+    return state
+
+
+async def _stream_loop(ws: WebSocket, conn: ConnectionState) -> None:
+    """The 30 Hz state pump (reference main.py:128-205)."""
+    conn.last_time = time.monotonic()
+    while not ws.closed:
+        now = time.monotonic()
+        dt = now - conn.last_time  # wall-clock dt (main.py:130-132)
+        conn.last_time = now
+        if conn.source_mode == "simulation":
+            state = await _tick_sim(conn, dt)
+        else:
+            state = await _tick_live(conn, dt)
+        state["source_mode"] = conn.source_mode
+        conn.attributor.update(state, state["timestamp"])
+        state["failure_events"] = conn.attributor.get_summary()
+        conn.logger.log(state, state.get("anomaly_score", 0.0))
+        await ws.send_json(state)
+        await asyncio.sleep(1.0 / conn.tick_rate)
+
+
+async def _handle_control(ws: WebSocket, conn: ConnectionState, msg: dict) -> None:
+    """Control-message dispatch (reference main.py:210-304)."""
+    action = msg.get("action")
+
+    if action == "set_source_mode":
+        mode = msg.get("mode", "simulation")
+        conn.video.stop()
+        if mode == "webcam":
+            ok = False
+            try:
+                ok = await asyncio.to_thread(conn.video.start, int(msg.get("device", 0)))
+            except Exception:
+                ok = False
+            if not ok:
+                conn.source_mode = "simulation"  # fallback (main.py:230-236)
+                await ws.send_json(
+                    {"type": "error", "message": "Could not open webcam; falling back to simulation"}
+                )
+                return
+        elif mode == "video":
+            filepath = msg.get("filepath", "")
+            ok = False
+            if filepath and os.path.isfile(filepath):
+                ok = await asyncio.to_thread(conn.video.start, filepath)
+            if not ok:
+                conn.source_mode = "simulation"
+                await ws.send_json({"type": "error", "message": f"Could not open video: {filepath}"})
+                return
+        elif mode != "simulation":
+            await ws.send_json({"type": "error", "message": f"Unknown source mode: {mode}"})
+            return
+        conn.source_mode = mode
+        # mode switch resets analyzer + engine + attributor (main.py:258-261)
+        conn.analyzer.reset()
+        conn.engine.reset()
+        conn.attributor.reset()
+        conn.last_frame_id = 0
+        await ws.send_json({"type": "mode_changed", "mode": mode})
+
+    elif action == "set_vision" and conn.source_mode == "simulation":
+        conn.vision.set_mode(msg.get("mode", "normal"))
+    elif action == "set_noise" and conn.source_mode == "simulation":
+        conn.vision.set_noise(float(msg.get("level", 0.0)))
+    elif action == "set_brightness" and conn.source_mode == "simulation":
+        conn.vision.set_brightness(float(msg.get("level", 0.5)))
+    elif action == "reset":
+        conn.reset()
+    elif action == "set_tick_rate":
+        rate = float(msg.get("rate", conn.config.video.default_tick_rate))
+        lo, hi = conn.config.video.min_tick_rate, conn.config.video.max_tick_rate
+        conn.tick_rate = min(float(hi), max(float(lo), rate))  # clamp (main.py:293-294)
+    elif action == "get_log":
+        await ws.send_json(
+            {
+                "type": "log_data",
+                "csv": conn.logger.get_csv(),
+                "entry_count": conn.logger.entry_count,
+                "events_csv": conn.attributor.get_events_csv(),
+                "event_count": len(conn.attributor.get_events()),
+            }
+        )
+
+
+def run_playground_sequence(events: list[dict], config: FrameworkConfig | None = None) -> list[dict]:
+    """Batch event replay — reference semantics (main.py:322-366), executed
+    as one compiled ``lax.scan`` on device.
+
+    Each event is {status, noise, brightness, frames}; anomaly scores come
+    from a fresh seed-99 simulator; dt is fixed at 1/30. Returns the full
+    per-tick state list with ``sim_time``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fav_tpu.core.trust_jax import init_carry, simulate_sequence
+
+    cfg = config or DEFAULT_CONFIG
+    dt = cfg.video.playground_dt
+    anomaly_sim = AnomalySimulator(seed=PLAYGROUND_SEED, params=cfg.anomaly_sim)
+
+    statuses, scores = [], []
+    for event in events:
+        status = event.get("status", "VISION_OK")
+        noise = float(event.get("noise", 0.0))
+        brightness = float(event.get("brightness", 0.5))
+        frames = max(0, int(event.get("frames", 0)))
+        for _ in range(frames):
+            statuses.append(STATUS_CODES.get(status, 0))
+            scores.append(anomaly_sim.compute_anomaly(noise, brightness, status))
+    if not statuses:
+        return []
+
+    n = len(statuses)
+    # The trust recurrence is scalar math, not MXU work: pin it to the CPU
+    # backend in float64 so replay matches the host engine bit-for-bit
+    # (SURVEY.md §7 "keep the host trust path float64"); TPU-side f32 batch
+    # replay for sweeps lives in trust_jax.simulate_batch.
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        carry = init_carry(cfg.trust, dtype=ftype)
+        _, outs = simulate_sequence(
+            cfg.trust,
+            jnp.asarray(statuses, jnp.int32),
+            jnp.asarray(scores, ftype),
+            jnp.ones(n, bool),
+            jnp.full(n, dt, ftype),
+            carry,
+        )
+
+    rel = np.asarray(outs.reliability)
+    pol = np.asarray(outs.policy)
+    integ = np.asarray(outs.anomaly_integral)
+    vel = np.asarray(outs.trust_velocity)
+    debt = np.asarray(outs.recovery_debt)
+    coeff = np.asarray(outs.recovery_coeff)
+    contra = np.asarray(outs.contradiction)
+    ccount = np.asarray(outs.contradiction_count)
+    stat = np.asarray(outs.status)
+
+    from fav_tpu.config import status_name
+
+    results = []
+    for i in range(n):
+        results.append(
+            {
+                "sim_time": round((i + 1) * dt, 4),
+                "reliability": round(float(rel[i]), 6),
+                "policy_state": policy_name(int(pol[i])),
+                "vision_status": status_name(int(stat[i])),
+                "anomaly_score": round(scores[i], 6),
+                "anomaly_integral": round(float(integ[i]), 6),
+                "trust_velocity": round(float(vel[i]), 6),
+                "recovery_debt": round(float(debt[i]), 4),
+                "recovery_coeff": round(float(coeff[i]), 4),
+                "contradiction_detected": bool(contra[i]),
+                "contradiction_count": int(ccount[i]),
+            }
+        )
+    return results
+
+
+def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None = None) -> HttpServer:
+    cfg = config or DEFAULT_CONFIG
+    fdir = frontend_dir or _FRONTEND_DIR
+    upload_dir = os.path.abspath(cfg.server.upload_dir)
+    server = HttpServer()
+
+    # ── pages + static (reference main.py:34-65) ──
+    def page(name: str):
+        async def handler(request: Request) -> Response:
+            path = os.path.join(fdir, name)
+            if os.path.isfile(path):
+                with open(path, encoding="utf-8") as f:
+                    return Response.html(f.read())
+            return Response.json({"error": f"{name} not found"}, 404)
+
+        return handler
+
+    server.route("GET", "/", page("index.html"))
+    server.route("GET", "/architecture", page("architecture.html"))
+    server.route("GET", "/playground", page("playground.html"))
+    for sub in ("css", "js", "assets"):
+        server.mount_static(f"/{sub}", os.path.join(fdir, sub))
+
+    async def health(request: Request) -> Response:
+        return Response.json({"status": "ok"})  # liveness (main.py:70-72)
+
+    server.route("GET", "/health", health)
+
+    async def upload_video(request: Request) -> Response:
+        """Multipart upload with extension whitelist (main.py:77-94)."""
+        for part in request.multipart():
+            if part["filename"]:
+                ext = os.path.splitext(part["filename"])[1].lower()
+                if ext not in cfg.video.upload_extensions:
+                    return Response.json({"error": f"Unsupported file type: {ext}"}, 400)
+                os.makedirs(upload_dir, exist_ok=True)
+                filename = f"upload_{int(time.time() * 1000)}{ext}"
+                filepath = os.path.join(upload_dir, filename)
+                with open(filepath, "wb") as f:
+                    f.write(part["data"])
+                return Response.json({"filepath": filepath, "filename": filename})
+        return Response.json({"error": "no file in request"}, 400)
+
+    server.route("POST", "/api/upload-video", upload_video)
+
+    # ── streaming WS (main.py:105-317) ──
+    async def ws_stream(request: Request, ws: WebSocket) -> None:
+        conn = ConnectionState(cfg)
+        loop_task = asyncio.create_task(_stream_loop(ws, conn))
+        try:
+            while True:
+                text = await ws.receive_text()
+                try:
+                    msg = json.loads(text)
+                except ValueError:
+                    continue  # a garbage control frame must not kill the stream
+                await _handle_control(ws, conn, msg)
+        except WebSocketClosed:
+            pass
+        finally:  # cleanup (main.py:306-317)
+            loop_task.cancel()
+            try:
+                await loop_task
+            except (asyncio.CancelledError, WebSocketClosed):
+                pass
+            conn.video.stop()
+
+    server.ws("/ws", ws_stream)
+
+    # ── playground WS (main.py:322-366) ──
+    async def ws_playground(request: Request, ws: WebSocket) -> None:
+        while True:
+            try:
+                msg = json.loads(await ws.receive_text())
+            except ValueError:
+                continue
+            if msg.get("action") == "simulate_sequence":
+                events = msg.get("events", [])
+                results = await asyncio.to_thread(run_playground_sequence, events, cfg)
+                await ws.send_json({"type": "simulation_result", "results": results})
+            else:
+                await ws.send_json({"type": "error", "message": "unknown action"})
+
+    server.ws("/ws/playground", ws_playground)
+    return server
+
+
+def main() -> None:  # pragma: no cover
+    """Entry point: ``python -m fav_tpu.serving.app`` (reference main.py:369-371)."""
+    import jax
+
+    from fav_tpu.config import config_from_env
+
+    # float64 for the playground parity path; model compute dtypes are
+    # explicit (bfloat16/float32) so TPU inference is unaffected.
+    jax.config.update("jax_enable_x64", True)
+    cfg = config_from_env()
+
+    async def _run():
+        app = create_app(cfg)
+        srv = await app.serve(cfg.server.host, cfg.server.port)
+        print(f"fav_tpu serving on http://{cfg.server.host}:{cfg.server.port}")
+        async with srv:
+            await srv.serve_forever()
+
+    asyncio.run(_run())
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -4,12 +4,16 @@ code path (mesh, pjit, collectives) is exercised without TPU hardware."""
 import os
 import sys
 
-# Must be set before jax import anywhere in the test process. Force CPU:
-# the test suite validates sharding on 8 virtual devices; bench.py covers TPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU with 8 virtual devices: the test suite validates sharding without
+# TPU hardware; bench.py covers TPU. NOTE: a site hook may import jax (and
+# register a TPU plugin) before this file runs, so setting the JAX_PLATFORMS
+# env var here is too late — use jax.config.update, which wins as long as no
+# backend has been initialized yet. XLA_FLAGS is read from the live process
+# env at CPU-client creation, so mutating os.environ works for it.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests may spawn
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -17,5 +21,8 @@ if REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 # Trust math parity requires float64 on the JAX host path.
 jax.config.update("jax_enable_x64", True)
+
+assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"

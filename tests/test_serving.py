@@ -1,0 +1,248 @@
+"""Serving-stack tests: HTTP routes, upload whitelist, WebSocket streaming
+and control dispatch, playground batch parity vs the host trust engine.
+
+The WS client side uses the third-party ``websockets`` package, so our
+stdlib RFC 6455 server implementation is validated against an independent
+implementation (handshake, masking, fragmentation, close).
+"""
+
+import asyncio
+import json
+import os
+import urllib.request
+
+import pytest
+import websockets
+
+from fav_tpu.config import DEFAULT_CONFIG, FrameworkConfig, ServerParams
+from fav_tpu.core.trust import TrustEngine
+from fav_tpu.serving.app import create_app, run_playground_sequence
+from fav_tpu.sim.anomaly_sim import AnomalySimulator
+
+
+@pytest.fixture()
+def app_server(tmp_path, unused_tcp_port_factory=None):
+    """Run the app on an ephemeral port inside a dedicated event loop thread."""
+    import socket
+    import threading
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    frontend = tmp_path / "frontend"
+    (frontend / "js").mkdir(parents=True)
+    (frontend / "index.html").write_text("<html><body>fav_tpu dashboard</body></html>")
+    (frontend / "js" / "app.js").write_text("// app")
+
+    cfg = FrameworkConfig(server=ServerParams(host="127.0.0.1", port=port, upload_dir=str(tmp_path / "uploads")))
+
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    stop = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def serve():
+            app = create_app(cfg, frontend_dir=str(frontend))
+            server = await app.serve("127.0.0.1", port)
+            started.set()
+            while not stop.is_set():
+                await asyncio.sleep(0.05)
+            server.close()
+            await server.wait_closed()
+
+        loop.run_until_complete(serve())
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    assert started.wait(timeout=10)
+    yield f"127.0.0.1:{port}"
+    stop.set()
+    thread.join(timeout=5)
+    loop.close()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=5) as r:
+        return r.status, r.read()
+
+
+def test_health(app_server):
+    status, body = _get(f"http://{app_server}/health")
+    assert status == 200
+    assert json.loads(body) == {"status": "ok"}
+
+
+def test_index_page(app_server):
+    status, body = _get(f"http://{app_server}/")
+    assert status == 200
+    assert b"fav_tpu dashboard" in body
+
+
+def test_static_mount_and_traversal_block(app_server):
+    status, body = _get(f"http://{app_server}/js/app.js")
+    assert status == 200 and b"// app" in body
+    req = urllib.request.Request(f"http://{app_server}/js/../index.html")
+    try:
+        with urllib.request.urlopen(req, timeout=5) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code in (403, 404)  # traversal must not escape the mount
+
+
+def _multipart(filename: str, data: bytes) -> tuple[bytes, str]:
+    boundary = "testboundary123"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + data + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_upload_video_whitelist(app_server):
+    body, ctype = _multipart("clip.mp4", b"fakevideo")
+    req = urllib.request.Request(
+        f"http://{app_server}/api/upload-video", data=body, headers={"Content-Type": ctype}
+    )
+    with urllib.request.urlopen(req, timeout=5) as r:
+        out = json.loads(r.read())
+    assert out["filename"].endswith(".mp4")
+    assert os.path.isfile(out["filepath"])
+
+    body, ctype = _multipart("evil.exe", b"nope")
+    req = urllib.request.Request(
+        f"http://{app_server}/api/upload-video", data=body, headers={"Content-Type": ctype}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=5) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400  # whitelist (reference main.py:77-94)
+
+
+async def _ws_session(uri, fn):
+    async with websockets.connect(uri, open_timeout=5) as ws:
+        return await fn(ws)
+
+
+def test_ws_streams_state(app_server):
+    async def fn(ws):
+        msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+        return msg
+
+    state = asyncio.run(_ws_session(f"ws://{app_server}/ws", fn))
+    for key in (
+        "reliability", "policy_state", "vision_status", "anomaly_integral",
+        "trust_velocity", "recovery_debt", "recovery_coeff",
+        "contradiction_detected", "contradiction_count", "source_mode",
+        "failure_events", "anomaly_score", "dt", "frame",
+    ):
+        assert key in state, key
+    assert state["source_mode"] == "simulation"
+
+
+def test_ws_control_frozen_decay(app_server):
+    """set_vision frozen must drive reliability down (reference invariant 1:
+    explicit failures dominate, platform/README.md:58-64)."""
+
+    async def fn(ws):
+        await ws.send(json.dumps({"action": "set_tick_rate", "rate": 60}))
+        await ws.send(json.dumps({"action": "set_vision", "mode": "frozen"}))
+        last = None
+        for _ in range(40):
+            last = json.loads(await asyncio.wait_for(ws.recv(), 5))
+        return last
+
+    state = asyncio.run(_ws_session(f"ws://{app_server}/ws", fn))
+    assert state["vision_status"] == "VISION_FROZEN"
+    assert state["reliability"] < 1.0
+
+
+def test_ws_get_log_and_reset(app_server):
+    async def fn(ws):
+        for _ in range(3):
+            await asyncio.wait_for(ws.recv(), 5)
+        await ws.send(json.dumps({"action": "get_log"}))
+        log = None
+        for _ in range(20):
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+            if msg.get("type") == "log_data":
+                log = msg
+                break
+        await ws.send(json.dumps({"action": "reset"}))
+        state = json.loads(await asyncio.wait_for(ws.recv(), 5))
+        return log, state
+
+    log, _ = asyncio.run(_ws_session(f"ws://{app_server}/ws", fn))
+    assert log is not None
+    assert log["csv"].startswith("timestamp,reliability,policy_state")
+    assert log["entry_count"] >= 3
+    assert "events_csv" in log
+
+
+def test_ws_bad_source_mode_error(app_server):
+    async def fn(ws):
+        await ws.send(json.dumps({"action": "set_source_mode", "mode": "video", "filepath": "/nope.mp4"}))
+        for _ in range(30):
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+            if msg.get("type") == "error":
+                return msg
+        return None
+
+    msg = asyncio.run(_ws_session(f"ws://{app_server}/ws", fn))
+    assert msg is not None and "Could not open video" in msg["message"]
+
+
+def test_playground_ws_roundtrip(app_server):
+    events = [
+        {"status": "VISION_OK", "noise": 0.0, "brightness": 0.5, "frames": 10},
+        {"status": "VISION_FROZEN", "noise": 0.0, "brightness": 0.5, "frames": 20},
+        {"status": "VISION_OK", "noise": 0.0, "brightness": 0.5, "frames": 30},
+    ]
+
+    async def fn(ws):
+        await ws.send(json.dumps({"action": "simulate_sequence", "events": events}))
+        return json.loads(await asyncio.wait_for(ws.recv(), 30))
+
+    out = asyncio.run(_ws_session(f"ws://{app_server}/ws/playground", fn))
+    assert out["type"] == "simulation_result"
+    assert len(out["results"]) == 60
+    assert out["results"][0]["sim_time"] == pytest.approx(1 / 30, abs=1e-4)
+
+
+def test_playground_matches_host_engine():
+    """The lax.scan playground replay must match a host TrustEngine driven by
+    the same seed-99 anomaly stream at dt=1/30 (the reference's exact batch
+    semantics, main.py:334-352) to 1e-9."""
+    events = [
+        {"status": "VISION_OK", "noise": 0.1, "brightness": 0.5, "frames": 40},
+        {"status": "VISION_CORRUPTED", "noise": 0.6, "brightness": 0.3, "frames": 25},
+        {"status": "VISION_OK", "noise": 0.0, "brightness": 0.5, "frames": 60},
+    ]
+    got = run_playground_sequence(events, DEFAULT_CONFIG)
+
+    engine = TrustEngine(DEFAULT_CONFIG.trust)
+    sim = AnomalySimulator(seed=99, params=DEFAULT_CONFIG.anomaly_sim)
+    dt = 1.0 / 30.0
+    expected = []
+    for event in events:
+        for _ in range(event["frames"]):
+            score = sim.compute_anomaly(event["noise"], event["brightness"], event["status"])
+            state = engine.update(event["status"], score, dt)
+            expected.append((state["reliability"], state["policy_state"], state["anomaly_integral"]))
+
+    assert len(got) == len(expected)
+    for g, (rel, pol, integ) in zip(got, expected):
+        assert g["reliability"] == pytest.approx(rel, abs=1e-9)
+        assert g["policy_state"] == pol
+        assert g["anomaly_integral"] == pytest.approx(integ, abs=1e-9)
+
+
+def test_playground_empty_events():
+    assert run_playground_sequence([]) == []
