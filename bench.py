@@ -53,7 +53,7 @@ def main() -> None:
     from fav_tpu.config import ModelParams
     from fav_tpu.models.cnn import create_model
     from fav_tpu.models.uncertainty import anomaly_from_confidence
-    from fav_tpu.ops.corruptions import corruption_fn
+    from fav_tpu.ops.corruptions_pallas import fast_corruption_fn as corruption_fn
 
     dev = jax.devices()[0]
     model = create_model(ModelParams())

@@ -87,24 +87,35 @@ def defocus_blur(key, x, severity: int):
     return _clip(depthwise_conv2d(x, jnp.asarray(_disk(radius, alias))))
 
 
+def _local_resample(key, x, max_delta: int):
+    """Random local resample x[y+dy, x+dx] with border clamping, expressed as
+    (2m+1)^2 shifted-window selects over an edge-padded copy instead of a
+    per-pixel gather. Exactly equivalent (clamped index == edge padding) but
+    stays on the VPU — TPU gathers serialize and were ~25x slower here."""
+    b, h, w, _ = x.shape
+    m = max_delta
+    d = jax.random.randint(key, (b, h, w, 2), -m, m + 1)
+    xp = jnp.pad(x, ((0, 0), (m, m), (m, m), (0, 0)), mode="edge")
+    out = jnp.zeros_like(x)
+    for dy in range(-m, m + 1):
+        for dx in range(-m, m + 1):
+            shifted = xp[:, m + dy : m + dy + h, m + dx : m + dx + w, :]
+            mask = (d[..., 0] == dy) & (d[..., 1] == dx)
+            out = jnp.where(mask[..., None], shifted, out)
+    return out
+
+
 def glass_blur(key, x, severity: int):
-    """Gaussian blur + iterated random neighbor swaps (approximated with
-    random local resampling — a gather instead of the serial per-pixel swap
-    loop, which has no efficient SPMD form)."""
+    """Gaussian blur + iterated random neighbor displacement (random local
+    resampling — the canonical per-pixel swap loop has no SPMD form; this is
+    the standard vectorized approximation)."""
     sigma, max_delta, iters = _sev(
         [(0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2)], severity
     )
     x = gaussian_blur(x, sigma)
-    b, h, w, _ = x.shape
-    yy, xx = jnp.mgrid[0:h, 0:w]
     for i in range(iters):
         key, k = jax.random.split(key)
-        d = jax.random.randint(k, (b, h, w, 2), -max_delta, max_delta + 1)
-        ys = yy[None] + d[..., 0]
-        xs = xx[None] + d[..., 1]
-        ys = jnp.clip(ys, 0, h - 1)
-        xs = jnp.clip(xs, 0, w - 1)
-        x = jax.vmap(lambda img, y, xc: img[y, xc])(x, ys, xs)
+        x = _local_resample(k, x, max_delta)
     return _clip(gaussian_blur(x, sigma))
 
 

@@ -1,0 +1,185 @@
+"""Pallas TPU kernels for the hot corruption transforms.
+
+SURVEY.md §2.4 mandate: corruption transforms "fused into the input
+pipeline" as on-device kernels. The jnp implementations in
+:mod:`fav_tpu.ops.corruptions` are the oracles; these kernels replace the
+ALU-heavy threefry RNG with the TPU's hardware PRNG
+(``pltpu.prng_random_bits``) and fuse noise + photometric ops + clip into a
+single VMEM pass — the jnp gaussian path spends ~10x the memory-bound cost
+on counter-based RNG alone (measured: 3.2 ms for a 2048x32x32x3 batch that
+moves only ~50 MB).
+
+RNG note: hardware PRNG streams differ from ``jax.random`` streams by
+construction, so equivalence tests are *statistical* (mean/std/salt-pepper
+rates), while the photometric math (brightness/contrast/clip) is exact.
+Determinism: the per-block seed is ``seed + program_id``, so results are
+reproducible for a given (seed, shape, block) and independent of grid
+scheduling order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "gaussian_noise_pallas",
+    "impulse_noise_pallas",
+    "corrupt_normalize_pallas",
+    "fast_corruption_fn",
+    "GAUSSIAN_SIGMA",
+    "IMPULSE_AMOUNT",
+]
+
+# severity tables — MUST match fav_tpu.ops.corruptions (the oracle)
+GAUSSIAN_SIGMA = (0.08, 0.12, 0.18, 0.26, 0.38)
+IMPULSE_AMOUNT = (0.03, 0.06, 0.09, 0.17, 0.27)
+
+_BLOCK = 256  # images per grid step: 256*32*32*3*4B = 3 MB in VMEM
+
+
+def _uniform01(shape):
+    """random bits -> float32 uniform in (0, 1): 24 mantissa bits, offset so
+    0 is excluded (log() safety). prng_random_bits yields *signed* int32 —
+    bitcast to uint32 before shifting or negatives survive the shift and
+    poison log()."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # logical-shift down to 24 bits, then bitcast to int32 (now non-negative)
+    # for the int->float cast — Mosaic has no uint32->f32 conversion
+    top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+
+
+def _standard_normal(shape):
+    """Box-Muller from two hardware-PRNG uniforms."""
+    u1 = _uniform01(shape)
+    u2 = _uniform01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * jnp.pi) * u2)
+
+
+def _gaussian_kernel(seed_ref, x_ref, out_ref, *, sigma):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:]
+    z = _standard_normal(x.shape)
+    out_ref[:] = jnp.clip(x + sigma * z, 0.0, 1.0)
+
+
+def _impulse_kernel(seed_ref, x_ref, out_ref, *, amount):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:]
+    u = _uniform01(x.shape)
+    out_ref[:] = jnp.where(u < amount / 2, 1.0, jnp.where(u > 1.0 - amount / 2, 0.0, x))
+
+
+def _corrupt_normalize_kernel(seed_ref, x_ref, out_ref, *, sigma, bright, contrast, mean, scale):
+    """Input-pipeline fusion: noise + brightness + contrast + normalize in one
+    pass. out = ((clip((x - mu)*contrast + mu + bright + sigma*z) - mean) * scale).
+    Blocks are (images, pixels*channels); mu is the per-image mean."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:]
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    y = (x - mu) * contrast + mu + bright
+    if sigma > 0.0:
+        y = y + sigma * _standard_normal(x.shape)
+    y = jnp.clip(y, 0.0, 1.0)
+    out_ref[:] = (y - mean) * scale
+
+
+def _grid_call(kernel, x, seed, interpret):
+    """Run an elementwise kernel over (block, D) windows.
+
+    Images are flattened to (B, H*W*C) so the VMEM lane dimension is the
+    128-aligned pixel axis — blocking the raw NHWC layout would make C=3 the
+    lane dim and pad every 3-vector to 128 lanes (a 42x VMEM blowup that
+    exceeds the 128 MB window budget at batch 2048).
+    """
+    shape = x.shape
+    b = shape[0]
+    d = 1
+    for s in shape[1:]:
+        d *= s
+    block = min(_BLOCK, b)
+    if b % block:
+        raise ValueError(f"batch {b} not divisible by block {block}")
+    flat = x.astype(jnp.float32).reshape(b, d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        # plain interpret mode has no lowering for prng_seed on CPU — the TPU
+        # interpreter (InterpretParams) emulates it (bits come out zero, so
+        # CPU tests only cover the deterministic math)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)), flat)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
+def gaussian_noise_pallas(seed, x, severity: int = 3, interpret: bool = False):
+    """Hardware-PRNG gaussian noise, fused add+clip (oracle:
+    corruptions.gaussian_noise)."""
+    k = functools.partial(_gaussian_kernel, sigma=GAUSSIAN_SIGMA[severity - 1])
+    return _grid_call(k, x, seed, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
+def impulse_noise_pallas(seed, x, severity: int = 3, interpret: bool = False):
+    """Hardware-PRNG salt & pepper (oracle: corruptions.impulse_noise)."""
+    k = functools.partial(_impulse_kernel, amount=IMPULSE_AMOUNT[severity - 1])
+    return _grid_call(k, x, seed, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "bright", "contrast", "mean", "scale", "interpret")
+)
+def corrupt_normalize_pallas(
+    seed,
+    x,
+    sigma: float = 0.0,
+    bright: float = 0.0,
+    contrast: float = 1.0,
+    mean: float = 0.0,
+    scale: float = 1.0,
+    interpret: bool = False,
+):
+    """Fused corruption + normalization for the training/serving input
+    pipeline: one HBM round trip for what would otherwise be 4 elementwise
+    passes."""
+    k = functools.partial(
+        _corrupt_normalize_kernel,
+        sigma=sigma, bright=bright, contrast=contrast, mean=mean, scale=scale,
+    )
+    return _grid_call(k, x, seed, interpret)
+
+
+def _key_to_seed(key):
+    """Fold a jax PRNG key (typed or raw uint32) into the int32 seed the
+    hardware PRNG takes."""
+    data = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
+    data = data.reshape(-1)
+    return (data[0] ^ data[-1]).astype(jnp.int32)
+
+
+def fast_corruption_fn(name: str):
+    """Drop-in for :func:`fav_tpu.ops.corruptions.corruption_fn` that routes
+    to the Pallas kernel when one exists (measured v5e, batch 2048: gaussian
+    11x, impulse 5x) and the jnp implementation otherwise. Signature stays
+    ``fn(key, x, severity)``; Pallas-backed results use the hardware PRNG
+    stream (statistically, not bitwise, equal to the jnp oracle)."""
+    from fav_tpu.ops.corruptions import corruption_fn as _jnp_fn
+
+    if name == "gaussian_noise":
+        return lambda key, x, severity: gaussian_noise_pallas(_key_to_seed(key), x, severity)
+    if name == "impulse_noise":
+        return lambda key, x, severity: impulse_noise_pallas(_key_to_seed(key), x, severity)
+    return _jnp_fn(name)
