@@ -180,6 +180,13 @@ class ServerParams:
     host: str = "0.0.0.0"
     port: int = 8000
     upload_dir: str = "uploads"
+    # live-mode CNN scoring via the micro-batched InferenceService. Scores are
+    # always attached to the state for display; use_model_anomaly additionally
+    # feeds max(analyzer, model) anomaly into the trust engine (default off —
+    # the reference's live loop uses the analyzer's fused score alone).
+    model_scoring: bool = True
+    use_model_anomaly: bool = False
+    inference_max_wait_ms: float = 4.0
 
 
 @dataclass(frozen=True)

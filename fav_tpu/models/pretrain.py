@@ -1,0 +1,96 @@
+"""Train + calibrate the serving classifier and save its checkpoint.
+
+Usage: ``python -m fav_tpu.models.pretrain [--steps N] [--out DIR]``
+
+Pipeline (the ML strategy the reference documents but cannot ship,
+reference docs/system_notes.md:146-198): train the CNN on CIFAR-10 (real
+batches if present, deterministic synthetic otherwise), fit the temperature
+scalar on a held-out split (Guo et al. 2017), evaluate accuracy / ECE /
+failure-detection AUROC, and write an orbax/npz checkpoint the serving
+InferenceService loads at boot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=1500)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--log-every", type=int, default=200)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.data.cifar import load_cifar10
+    from fav_tpu.models.calibration import (
+        auroc,
+        expected_calibration_error,
+        failure_labels,
+        fit_temperature,
+    )
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.train import classifier_eval_step, train_classifier
+    from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR, save_checkpoint
+
+    out_dir = args.out or os.path.join(DEFAULT_CKPT_DIR, "classifier")
+    ds = load_cifar10()
+    print(f"dataset: {ds.source} ({ds.train_images.shape[0]} train / {ds.test_images.shape[0]} test)")
+
+    model = create_model(ModelParams())
+    params, train_metrics = train_classifier(
+        model, ds, num_steps=args.steps, batch_size=args.batch,
+        learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
+    )
+
+    # held-out split: half for temperature fitting, half for reporting
+    n_val = ds.test_images.shape[0] // 2
+    val_x, val_y = jnp.asarray(ds.test_images[:n_val]), jnp.asarray(ds.test_labels[:n_val])
+    test_x, test_y = jnp.asarray(ds.test_images[n_val:]), jnp.asarray(ds.test_labels[n_val:])
+
+    val_logits = classifier_eval_step(model.apply, params, val_x, val_y)["logits"]
+    temperature = float(fit_temperature(val_logits, val_y))
+
+    out = classifier_eval_step(model.apply, params, test_x, test_y)
+    logits = out["logits"]
+    probs = jax.nn.softmax(logits / temperature, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    preds = jnp.argmax(probs, axis=-1)
+    correct = (preds == test_y).astype(jnp.float64)
+    fails = failure_labels(preds, test_y)
+    metrics = {
+        "accuracy": round(float(out["accuracy"]), 4),
+        "temperature": round(temperature, 4),
+        "ece": round(float(expected_calibration_error(conf, correct)), 4),
+        "ece_uncalibrated": round(
+            float(
+                expected_calibration_error(
+                    jnp.max(jax.nn.softmax(logits, -1), -1), correct
+                )
+            ),
+            4,
+        ),
+        "failure_auroc": (
+            round(float(auroc(1.0 - conf, fails)), 4) if int(fails.sum()) > 0 else None
+        ),
+        "data_source": ds.source,
+        "train_steps": args.steps,
+    }
+    print(json.dumps(metrics, indent=2))
+
+    save_checkpoint(out_dir, params, metadata=metrics)
+    print(f"checkpoint -> {out_dir}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

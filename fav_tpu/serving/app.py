@@ -25,6 +25,7 @@ analysis goes through the batched JAX signal analyzer.
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import json
 import os
 import time
@@ -40,8 +41,10 @@ from fav_tpu.io.jpeg import frame_to_base64_jpeg
 from fav_tpu.io.video import VideoSource
 from fav_tpu.ops.signal import SignalAnalyzer
 from fav_tpu.serving.httpws import HttpServer, Request, Response, WebSocket, WebSocketClosed
+from fav_tpu.serving.inference import InferenceService
 from fav_tpu.sim.anomaly_sim import AnomalySimulator
 from fav_tpu.sim.vision_sim import VisionSimulator
+from fav_tpu.utils.profiling import StageTimer
 
 __all__ = ["create_app", "ConnectionState", "run_playground_sequence", "main"]
 
@@ -68,6 +71,9 @@ class ConnectionState:
     last_time: float = 0.0
     last_frame_id: int = 0
     last_analysis: dict = field(default_factory=dict)
+    last_inference: dict = field(default_factory=dict)
+    inference: InferenceService | None = None  # shared, set by create_app
+    timer: StageTimer | None = None  # shared, set by create_app
 
     def __post_init__(self):
         cfg = self.config
@@ -105,8 +111,23 @@ async def _tick_sim(conn: ConnectionState, dt: float) -> dict:
     return state
 
 
+def _frame_for_model(frame_bgr, size: int):
+    """BGR uint8 HxWx3 -> RGB float [size,size,3] in [0,1] for the CNN."""
+    try:
+        from fav_tpu.native import resize_area
+
+        small = resize_area(frame_bgr, size, size)
+    except Exception:
+        import cv2
+
+        small = cv2.resize(frame_bgr, (size, size), interpolation=cv2.INTER_AREA)
+    return small[..., ::-1].astype(np.float32) / 255.0
+
+
 async def _tick_live(conn: ConnectionState, dt: float) -> dict:
-    """Live-mode tick: frame -> metrics -> trust (reference main.py:151-188)."""
+    """Live-mode tick: frame -> metrics (+ CNN scores) -> trust
+    (reference main.py:151-188; the CNN path is the TPU build's real-ML
+    upgrade over the reference's absent autoencoder)."""
     frame, frame_id = conn.video.get_frame()
     if frame is None:
         state = conn.engine.get_state()
@@ -116,18 +137,31 @@ async def _tick_live(conn: ConnectionState, dt: float) -> dict:
     is_new = frame_id != conn.last_frame_id
     if is_new:
         # analysis runs off the event loop — cv2/JAX work must not stall WS IO
-        conn.last_analysis = await asyncio.to_thread(conn.analyzer.analyze_frame, frame)
+        with conn.timer.stage("analysis") if conn.timer else contextlib.nullcontext():
+            conn.last_analysis = await asyncio.to_thread(conn.analyzer.analyze_frame, frame)
+        if conn.inference is not None:
+            with conn.timer.stage("inference") if conn.timer else contextlib.nullcontext():
+                small = await asyncio.to_thread(
+                    _frame_for_model, frame, conn.config.model.image_size
+                )
+                conn.last_inference = await conn.inference.score_frame(small)
         conn.last_frame_id = frame_id
     analysis = conn.last_analysis
-    state = conn.engine.update(analysis["vision_status"], analysis["anomaly_score"], dt)
-    state["anomaly_score"] = analysis["anomaly_score"]
+    anomaly = analysis["anomaly_score"]
+    if conn.config.server.use_model_anomaly and conn.last_inference:
+        anomaly = max(anomaly, conn.last_inference.get("model_anomaly", 0.0))
+    state = conn.engine.update(analysis["vision_status"], anomaly, dt)
+    state["anomaly_score"] = round(anomaly, 6)
     state["signal_metrics"] = analysis["metrics"]
+    if conn.last_inference:
+        state["ml_inference"] = conn.last_inference
     state["dt"] = round(dt, 4)
     state["frame_id"] = frame_id
     if is_new:
-        encoded = await asyncio.to_thread(
-            frame_to_base64_jpeg, frame, conn.config.video.jpeg_quality
-        )
+        with conn.timer.stage("encode") if conn.timer else contextlib.nullcontext():
+            encoded = await asyncio.to_thread(
+                frame_to_base64_jpeg, frame, conn.config.video.jpeg_quality
+            )
         if encoded:
             state["video_frame"] = encoded
     return state
@@ -140,14 +174,15 @@ async def _stream_loop(ws: WebSocket, conn: ConnectionState) -> None:
         now = time.monotonic()
         dt = now - conn.last_time  # wall-clock dt (main.py:130-132)
         conn.last_time = now
-        if conn.source_mode == "simulation":
-            state = await _tick_sim(conn, dt)
-        else:
-            state = await _tick_live(conn, dt)
-        state["source_mode"] = conn.source_mode
-        conn.attributor.update(state, state["timestamp"])
-        state["failure_events"] = conn.attributor.get_summary()
-        conn.logger.log(state, state.get("anomaly_score", 0.0))
+        with conn.timer.stage("tick") if conn.timer else contextlib.nullcontext():
+            if conn.source_mode == "simulation":
+                state = await _tick_sim(conn, dt)
+            else:
+                state = await _tick_live(conn, dt)
+            state["source_mode"] = conn.source_mode
+            conn.attributor.update(state, state["timestamp"])
+            state["failure_events"] = conn.attributor.get_summary()
+            conn.logger.log(state, state.get("anomaly_score", 0.0))
         await ws.send_json(state)
         await asyncio.sleep(1.0 / conn.tick_rate)
 
@@ -298,6 +333,12 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
     fdir = frontend_dir or _FRONTEND_DIR
     upload_dir = os.path.abspath(cfg.server.upload_dir)
     server = HttpServer()
+    timer = StageTimer()
+    inference = (
+        InferenceService(cfg.model, max_wait_ms=cfg.server.inference_max_wait_ms)
+        if cfg.server.model_scoring
+        else None
+    )
 
     # ── pages + static (reference main.py:34-65) ──
     def page(name: str):
@@ -321,6 +362,18 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
 
     server.route("GET", "/health", health)
 
+    async def metrics(request: Request) -> Response:
+        """Per-stage latency histograms + inference-service info
+        (tracing/profiling subsystem, SURVEY.md §5.1)."""
+        return Response.json(
+            {
+                "stages": timer.summary(),
+                "inference": inference.info() if inference else None,
+            }
+        )
+
+    server.route("GET", "/api/metrics", metrics)
+
     async def upload_video(request: Request) -> Response:
         """Multipart upload with extension whitelist (main.py:77-94)."""
         for part in request.multipart():
@@ -341,6 +394,8 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
     # ── streaming WS (main.py:105-317) ──
     async def ws_stream(request: Request, ws: WebSocket) -> None:
         conn = ConnectionState(cfg)
+        conn.inference = inference
+        conn.timer = timer
         loop_task = asyncio.create_task(_stream_loop(ws, conn))
         try:
             while True:

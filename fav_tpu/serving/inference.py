@@ -1,0 +1,165 @@
+"""Micro-batched TPU inference service for the streaming server.
+
+SURVEY.md §7 names the hard part: 30 Hz single-frame streaming on hardware
+that wants batches. Solution here:
+
+* every live connection submits its frame to one shared asyncio queue,
+* a single worker task drains the queue, pads the pending frames to a
+  precompiled batch bucket (1/8/32), and runs ONE jitted forward for all
+  concurrent connections (micro-batching across connections),
+* results (prediction / confidence / model anomaly) fan back out through
+  futures; shape buckets mean no recompilation at runtime,
+* model params come from a checkpoint when present (fav_tpu/checkpoints/
+  classifier) and fall back to a randomly-initialized model — the service
+  reports which through ``info()`` so the dashboard can badge it.
+
+The model anomaly honors the reference's bounded-ML invariant: it is a
+scalar in [0,1] consumed by the trust engine's penalty integral only while
+rules say VISION_OK (reference platform/README.md:58-64).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+from typing import Any
+
+import numpy as np
+
+from fav_tpu.config import ModelParams
+
+__all__ = ["InferenceService"]
+
+BUCKETS = (1, 8, 32)
+
+
+class InferenceService:
+    """Shared micro-batched classifier scoring for live frames."""
+
+    def __init__(
+        self,
+        model_params: ModelParams | None = None,
+        checkpoint_dir: str | None = None,
+        max_wait_ms: float = 4.0,
+    ):
+        self.cfg = model_params or ModelParams()
+        self.max_wait = max_wait_ms / 1e3
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._worker: asyncio.Task | None = None
+        self._started = False
+        self.source = "uninitialized"
+        self._checkpoint_dir = checkpoint_dir
+        self._forward = None
+        self._params = None
+        self._temperature = 1.0
+
+    # ── lazy device setup (first use; jax import stays off server boot) ──
+    def _ensure_model(self) -> None:
+        if self._forward is not None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from fav_tpu.models.cnn import create_model
+        from fav_tpu.models.uncertainty import anomaly_from_confidence
+
+        model = create_model(self.cfg)
+        sample = jnp.zeros((1, self.cfg.image_size, self.cfg.image_size, self.cfg.channels))
+        params = model.init(jax.random.PRNGKey(0), sample)
+        self.source = "random_init"
+
+        ckpt_dir = self._checkpoint_dir
+        if ckpt_dir is None:
+            from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
+
+            ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, "classifier")
+        if os.path.isdir(ckpt_dir):
+            try:
+                from fav_tpu.utils.checkpoint import restore_checkpoint
+
+                params, meta = restore_checkpoint(ckpt_dir, params)
+                self._temperature = float(meta.get("temperature", 1.0))
+                self.source = f"checkpoint:{ckpt_dir}"
+            except Exception:
+                pass
+
+        temperature = self._temperature
+
+        @jax.jit
+        def forward(params, images):
+            logits = model.apply(params, images)
+            probs = jax.nn.softmax(logits / temperature, axis=-1)
+            conf = jnp.max(probs, axis=-1)
+            return {
+                "prediction": jnp.argmax(probs, axis=-1),
+                "confidence": conf,
+                "anomaly": anomaly_from_confidence(conf),
+            }
+
+        self._forward = forward
+        self._params = params
+
+    def info(self) -> dict:
+        return {"source": self.source, "temperature": self._temperature}
+
+    # ── public API ──
+    async def score_frame(self, frame_rgb01: np.ndarray) -> dict:
+        """Submit one [S,S,3] float frame in [0,1]; await its scores."""
+        if not self._started:
+            self._started = True
+            self._worker = asyncio.get_running_loop().create_task(self._run())
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self._queue.put((frame_rgb01, fut))
+        return await fut
+
+    async def close(self) -> None:
+        if self._worker is not None:
+            self._worker.cancel()
+            try:
+                await self._worker
+            except asyncio.CancelledError:
+                pass
+            self._worker = None
+            self._started = False
+
+    # ── worker ──
+    async def _run(self) -> None:
+        await asyncio.to_thread(self._ensure_model)
+        while True:
+            frame, fut = await self._queue.get()
+            batch = [(frame, fut)]
+            # micro-batch: wait briefly for concurrent connections' frames
+            deadline = asyncio.get_running_loop().time() + self.max_wait
+            while len(batch) < BUCKETS[-1]:
+                timeout = deadline - asyncio.get_running_loop().time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self._queue.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            results = await asyncio.to_thread(self._infer, [f for f, _ in batch])
+            for (_, f), res in zip(batch, results):
+                if not f.done():
+                    f.set_result(res)
+
+    def _infer(self, frames: list[np.ndarray]) -> list[dict]:
+        import jax.numpy as jnp
+
+        n = len(frames)
+        bucket = next(b for b in BUCKETS if b >= n) if n <= BUCKETS[-1] else BUCKETS[-1]
+        stack = np.zeros((bucket,) + frames[0].shape, np.float32)
+        for i, f in enumerate(frames[:bucket]):
+            stack[i] = f
+        out = self._forward(self._params, jnp.asarray(stack))
+        pred = np.asarray(out["prediction"])
+        conf = np.asarray(out["confidence"])
+        anom = np.asarray(out["anomaly"])
+        return [
+            {
+                "prediction": int(pred[i]),
+                "confidence": round(float(conf[i]), 4),
+                "model_anomaly": round(float(anom[i]), 4),
+            }
+            for i in range(n)
+        ]

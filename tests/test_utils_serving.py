@@ -1,0 +1,144 @@
+"""Tests: profiling stats, checkpoint roundtrip, micro-batched inference
+service, pretrain CLI smoke, and live-tick model scoring integration."""
+
+import asyncio
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fav_tpu.config import ModelParams
+from fav_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from fav_tpu.utils.profiling import LatencyStats, StageTimer
+
+
+def test_latency_stats_quantiles():
+    s = LatencyStats()
+    for ms in range(1, 101):  # 1..100 ms uniform
+        s.record(ms / 1e3)
+    out = s.summary()
+    assert out["count"] == 100
+    assert out["mean_ms"] == pytest.approx(50.5, rel=0.01)
+    assert out["p50_ms"] == pytest.approx(50, rel=0.15)  # log-bin resolution
+    assert out["p99_ms"] == pytest.approx(99, rel=0.15)
+    assert out["max_ms"] == pytest.approx(100, rel=0.01)
+
+
+def test_latency_stats_extremes():
+    s = LatencyStats()
+    s.record(1e-9)  # underflow bin
+    s.record(100.0)  # overflow bin
+    out = s.summary()
+    assert out["count"] == 2
+    assert out["max_ms"] == pytest.approx(100000.0)
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("work"):
+        pass
+    t.record("manual", 0.25)
+    out = t.summary()
+    assert out["work"]["count"] == 1
+    assert out["manual"]["p50_ms"] == pytest.approx(250, rel=0.15)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"layer": {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones(4)}}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, metadata={"temperature": 2.5})
+    template = jax.tree.map(jnp.zeros_like, params)
+    restored, meta = restore_checkpoint(path, template)
+    assert meta["temperature"] == 2.5
+    np.testing.assert_array_equal(np.asarray(restored["layer"]["w"]), np.asarray(params["layer"]["w"]))
+    np.testing.assert_array_equal(np.asarray(restored["layer"]["b"]), np.asarray(params["layer"]["b"]))
+
+
+SMALL = ModelParams(widths=(8, 16), dense_width=16)
+
+
+def test_inference_service_single_and_batch():
+    from fav_tpu.serving.inference import InferenceService
+
+    service = InferenceService(SMALL)
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        one = await service.score_frame(frame)
+        # concurrent submissions exercise the micro-batching path
+        frames = [
+            np.random.default_rng(i).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+            for i in range(6)
+        ]
+        many = await asyncio.gather(*[service.score_frame(f) for f in frames])
+        await service.close()
+        return one, many
+
+    one, many = asyncio.run(run())
+    assert set(one) == {"prediction", "confidence", "model_anomaly"}
+    assert 0.0 <= one["confidence"] <= 1.0
+    assert 0.0 <= one["model_anomaly"] <= 1.0
+    assert len(many) == 6
+    assert service.source == "random_init"  # no checkpoint in repo during tests
+
+
+def test_inference_service_batch_matches_single():
+    """Micro-batched result must equal the result of a solo submission
+    (padding to the bucket must not leak into real rows)."""
+    from fav_tpu.serving.inference import InferenceService
+
+    service = InferenceService(SMALL)
+    frame = np.random.default_rng(1).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+
+    async def run():
+        solo = await service.score_frame(frame)
+        batch = await asyncio.gather(*[service.score_frame(frame) for _ in range(5)])
+        await service.close()
+        return solo, batch
+
+    solo, batch = asyncio.run(run())
+    for r in batch:
+        assert r["prediction"] == solo["prediction"]
+        assert r["confidence"] == pytest.approx(solo["confidence"], abs=1e-3)
+
+
+def test_frame_for_model():
+    from fav_tpu.serving.app import _frame_for_model
+
+    frame = np.random.default_rng(0).integers(0, 256, (240, 320, 3)).astype(np.uint8)
+    out = _frame_for_model(frame, 32)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # BGR -> RGB: channel order flipped
+    frame2 = np.zeros((64, 64, 3), np.uint8)
+    frame2[..., 0] = 255  # blue in BGR
+    out2 = _frame_for_model(frame2, 32)
+    assert out2[0, 0, 2] == pytest.approx(1.0)  # shows up in RGB channel 2
+    assert out2[0, 0, 0] == pytest.approx(0.0)
+
+
+def test_pretrain_cli_smoke(tmp_path):
+    """End-to-end: train tiny, calibrate, checkpoint, reload via the
+    InferenceService checkpoint path."""
+    from fav_tpu.models import pretrain
+    from fav_tpu.serving.inference import InferenceService
+
+    out = str(tmp_path / "clf")
+    metrics = pretrain.main(["--steps", "60", "--batch", "64", "--out", out, "--log-every", "0"])
+    assert metrics["accuracy"] > 0.2  # tiny run, just must learn something
+    assert os.path.isdir(out)
+
+    service = InferenceService(ModelParams(), checkpoint_dir=out)
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:")
+    assert 0.0 <= res["confidence"] <= 1.0
