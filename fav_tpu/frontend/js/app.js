@@ -11,6 +11,8 @@
 
   const gauge = new ReliabilityGauge($("gauge"));
   const chart = new TrustChart($("chart"), 600);
+  const world = new RobotWorld($("world"));
+  const synthCam = new SyntheticCamera($("synth-cam"));
   let tick = 0;
   let scenarioTimer = null;
 
@@ -49,6 +51,15 @@
     $("m-ml").textContent = msg.ml_influence_active ? "ACTIVE" : "inactive";
     $("m-ticks").textContent = msg.tick_count ?? 0;
 
+    // canvas renderers follow the latest state on their own RAF loop
+    const speed = POLICY_SPEED[msg.policy_state] ?? 0;
+    world.setState(msg.policy_state, speed);
+    const isSim = msg.source_mode === "simulation";
+    $("synth-cam").style.display = isSim ? "block" : "none";
+    $("camera-img").style.display = isSim ? "none" : $("camera-img").style.display;
+    if (isSim && msg.frame) {
+      synthCam.setState(msg.frame.mode, msg.frame.noise_level, msg.frame.brightness, speed);
+    }
     if (msg.video_frame) {
       const img = $("camera-img");
       img.src = "data:image/jpeg;base64," + msg.video_frame;
@@ -60,6 +71,12 @@
       $("sig-brightness").textContent = fmt(msg.signal_metrics.brightness, 3);
       $("sig-freeze").textContent = fmt(msg.signal_metrics.freeze, 3);
       $("sig-entropy").textContent = fmt(msg.signal_metrics.entropy, 3);
+    }
+    if (msg.ml_inference) {
+      $("ml-panel").style.display = "block";
+      $("ml-pred").textContent = msg.ml_inference.prediction;
+      $("ml-conf").textContent = fmt(msg.ml_inference.confidence, 3);
+      $("ml-anom").textContent = fmt(msg.ml_inference.model_anomaly, 3);
     }
     renderEvents(msg.failure_events);
   }
