@@ -63,8 +63,57 @@
     };
   });
 
+  // ── raw-vs-reconstruction animation (parity surface: the reference's
+  // simulated AE frame comparison, playground.js:160-232). Replays the
+  // result timeline: the raw pane renders the status-appropriate synthetic
+  // frame; the recon pane shows what an AE trained on normal data would
+  // produce (smooth scene for OK/frozen/blank — the blind spot — and a
+  // clean-but-wrong scene for corrupted). ──
+  let reconTimer = null;
+  function animateRecon(results) {
+    if (reconTimer) clearInterval(reconTimer);
+    const raw = $("pg-raw").getContext("2d");
+    const rec = $("pg-recon").getContext("2d");
+    let i = 0;
+    reconTimer = setInterval(() => {
+      if (i >= results.length) { clearInterval(reconTimer); reconTimer = null; return; }
+      const r = results[Math.min(i, results.length - 1)];
+      drawScene(raw, r.vision_status, r.anomaly_score, true);
+      drawScene(rec, r.vision_status, r.anomaly_score, false);
+      $("pg-recon-err").textContent = Number(r.anomaly_score).toFixed(4);
+      i += 4;  // ~8x real time
+    }, 33);
+  }
+
+  function drawScene(ctx, status, anomaly, isRaw) {
+    const w = 160, h = 120;
+    // base scene: sky + ground + box obstacle (what the AE was trained on)
+    ctx.fillStyle = "#1c2940"; ctx.fillRect(0, 0, w, h * 0.55);
+    ctx.fillStyle = "#22303f"; ctx.fillRect(0, h * 0.55, w, h * 0.45);
+    ctx.fillStyle = "#3b5068"; ctx.fillRect(w * 0.4, h * 0.38, 34, 28);
+    if (!isRaw) return;                       // reconstruction is always smooth
+    if (status === "VISION_BLANK") {          // raw: dead feed
+      ctx.fillStyle = "#000"; ctx.fillRect(0, 0, w, h);
+      return;
+    }
+    if (status === "VISION_FROZEN") {         // raw: tinted stale frame
+      ctx.fillStyle = "rgba(140,190,255,0.14)"; ctx.fillRect(0, 0, w, h);
+      return;
+    }
+    if (status === "VISION_CORRUPTED" || anomaly > 0.1) {
+      const img = ctx.getImageData(0, 0, w, h), d = img.data;
+      const amt = status === "VISION_CORRUPTED" ? 200 : anomaly * 300;
+      for (let p = 0; p < d.length; p += 8) {
+        const n = (Math.random() - 0.5) * amt;
+        d[p] += n; d[p + 1] += n; d[p + 2] += n;
+      }
+      ctx.putImageData(img, 0, 0);
+    }
+  }
+
   function renderResults(results) {
     lastResults = results;
+    animateRecon(results);
     setStatus(`Done — ${results.length} ticks (dt = 1/30 s, one compiled lax.scan on device).`);
     chart.setData(results.map((r) => r.reliability), results.map((r) => r.anomaly_score));
 

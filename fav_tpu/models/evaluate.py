@@ -1,0 +1,118 @@
+"""Corruption-sweep evaluation CLI: the full 15x5 robustness grid.
+
+Usage: ``python -m fav_tpu.models.evaluate [--checkpoint DIR] [--out FILE]``
+
+Runs every (corruption, severity) cell of the CIFAR-10-C-style grid through
+the (checkpointed or freshly trained) classifier and reports per-cell
+accuracy, confidence, failure-detection AUROC and the trust-engine anomaly
+scalar — fault injection as *data*, replacing the reference's UI-slider-only
+injection (SURVEY.md §5.3). With multiple devices visible, images shard over
+the mesh's data axis automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--num-images", type=int, default=2048)
+    parser.add_argument("--train-steps", type=int, default=0,
+                        help="train this many steps if no checkpoint is found")
+    parser.add_argument("--corruptions", type=str, default="",
+                        help="comma-separated subset (default: all 15)")
+    parser.add_argument("--widths", type=str, default="",
+                        help="comma-separated CNN stage widths (default: config)")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    # persistent compilation cache: 75 grid cells = 75 programs; repeat runs
+    # (and bench.py, which shares the cache dir) skip recompiles
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.data.cifar import load_cifar10
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.train import train_classifier
+    from fav_tpu.ops.corruptions import CORRUPTION_NAMES
+    from fav_tpu.parallel.mesh import build_mesh
+    from fav_tpu.parallel.sweep import corruption_sweep, sharded_sweep
+    from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR, restore_checkpoint
+
+    ds = load_cifar10()
+    mp = ModelParams()
+    if args.widths:
+        widths = tuple(int(w) for w in args.widths.split(","))
+        mp = ModelParams(widths=widths, dense_width=widths[-1])
+    model = create_model(mp)
+    sample = jnp.zeros((1,) + ds.test_images.shape[1:], jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), sample)
+    temperature = 1.0
+    source = "random_init"
+
+    ckpt = args.checkpoint or os.path.join(DEFAULT_CKPT_DIR, "classifier")
+    if os.path.isdir(ckpt):
+        params, meta = restore_checkpoint(ckpt, params)
+        temperature = float(meta.get("temperature", 1.0))
+        source = f"checkpoint:{ckpt}"
+    elif args.train_steps > 0:
+        params, _ = train_classifier(model, ds, num_steps=args.train_steps)
+        source = f"trained:{args.train_steps}steps"
+
+    n = min(args.num_images, ds.test_images.shape[0])
+    images = jnp.asarray(ds.test_images[:n])
+    labels = jnp.asarray(ds.test_labels[:n])
+    names = tuple(c for c in args.corruptions.split(",") if c) or CORRUPTION_NAMES
+
+    key = jax.random.PRNGKey(42)
+    if jax.device_count() > 1 and n % jax.device_count() == 0:
+        mesh = build_mesh((jax.device_count(), 1, 1))
+        grid = sharded_sweep(mesh, model.apply, params, images, labels, key,
+                             corruptions=names, temperature=temperature)
+    else:
+        grid = corruption_sweep(model.apply, params, images, labels, key,
+                                corruptions=names, temperature=temperature)
+
+    # aggregate: mean over severities per corruption + overall
+    per_corruption = {
+        name: {
+            "accuracy": round(sum(c["accuracy"] for c in cells.values()) / len(cells), 4),
+            "auroc": round(sum(c["auroc"] for c in cells.values()) / len(cells), 4),
+            "mean_anomaly": round(sum(c["mean_anomaly"] for c in cells.values()) / len(cells), 4),
+        }
+        for name, cells in grid.items()
+    }
+    overall = {
+        "model": source,
+        "images_per_cell": n,
+        "mean_corrupted_accuracy": round(
+            sum(v["accuracy"] for v in per_corruption.values()) / len(per_corruption), 4
+        ),
+        "mean_failure_auroc": round(
+            sum(v["auroc"] for v in per_corruption.values()) / len(per_corruption), 4
+        ),
+        "devices": jax.device_count(),
+        "data_source": ds.source,
+    }
+    result = {"summary": overall, "per_corruption": per_corruption, "grid": grid}
+    print(json.dumps(overall, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"full grid -> {args.out}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -142,3 +142,21 @@ def test_pretrain_cli_smoke(tmp_path):
     res = asyncio.run(run())
     assert service.source.startswith("checkpoint:")
     assert 0.0 <= res["confidence"] <= 1.0
+
+
+def test_evaluate_cli_smoke(tmp_path):
+    """Sweep-eval CLI on a 2-corruption subset with a tiny fresh model."""
+    import json
+
+    from fav_tpu.models import evaluate
+
+    out = str(tmp_path / "grid.json")
+    result = evaluate.main(
+        ["--num-images", "64", "--train-steps", "0",
+         "--corruptions", "gaussian_noise,brightness", "--widths", "8,16",
+         "--checkpoint", str(tmp_path / "nonexistent"), "--out", out]
+    )
+    assert set(result["per_corruption"]) == {"gaussian_noise", "brightness"}
+    assert 0.0 <= result["summary"]["mean_corrupted_accuracy"] <= 1.0
+    with open(out) as f:
+        assert json.load(f)["summary"]["model"] == "random_init"
