@@ -187,6 +187,8 @@ class ServerParams:
     model_scoring: bool = True
     use_model_anomaly: bool = False
     inference_max_wait_ms: float = 4.0
+    # 'msp' | 'mc_dropout' | 'ensemble' (fav_tpu/serving/inference.py)
+    uncertainty: str = "msp"
 
 
 @dataclass(frozen=True)

@@ -17,6 +17,35 @@ import json
 import os
 
 
+def _train_ensemble(model, ds, args):
+    """Train N independent members in one vmapped program (the ensemble
+    train step; members differ by init and dropout keys)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fav_tpu.data.cifar import batch_iterator
+    from fav_tpu.models.train import TrainState, make_ensemble_train_step
+    from fav_tpu.models.uncertainty import init_ensemble
+
+    sample = jnp.zeros((1,) + ds.train_images.shape[1:], jnp.float32)
+    stacked = init_ensemble(model, jax.random.PRNGKey(args.seed), sample, args.ensemble)
+    tx = optax.adamw(args.lr)
+    states = TrainState(
+        stacked, jax.vmap(tx.init)(stacked), jnp.zeros((args.ensemble,), jnp.int32)
+    )
+    step = make_ensemble_train_step(model.apply, tx)
+    it = batch_iterator(ds.train_images, ds.train_labels, args.batch, seed=args.seed)
+    key = jax.random.PRNGKey(args.seed + 1)
+    for i in range(args.steps):
+        x, y = next(it)
+        key, sub = jax.random.split(key)
+        states, metrics = step(states, jnp.asarray(x), jnp.asarray(y), sub)
+        if args.log_every and (i + 1) % args.log_every == 0:
+            print(f"step {i+1}: member losses {[round(float(l),4) for l in metrics['loss']]}")
+    return states.params
+
+
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=1500)
@@ -25,6 +54,11 @@ def main(argv=None) -> dict:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--log-every", type=int, default=200)
+    parser.add_argument("--ensemble", type=int, default=0,
+                        help="train an N-member deep ensemble (stacked params "
+                             "checkpoint for uncertainty='ensemble' serving)")
+    parser.add_argument("--widths", type=str, default="",
+                        help="comma-separated CNN stage widths (default: config)")
     args = parser.parse_args(argv)
 
     import jax
@@ -42,26 +76,44 @@ def main(argv=None) -> dict:
     from fav_tpu.models.train import classifier_eval_step, train_classifier
     from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR, save_checkpoint
 
-    out_dir = args.out or os.path.join(DEFAULT_CKPT_DIR, "classifier")
+    out_dir = args.out or os.path.join(
+        DEFAULT_CKPT_DIR, "ensemble" if args.ensemble else "classifier"
+    )
     ds = load_cifar10()
     print(f"dataset: {ds.source} ({ds.train_images.shape[0]} train / {ds.test_images.shape[0]} test)")
 
-    model = create_model(ModelParams())
-    params, train_metrics = train_classifier(
-        model, ds, num_steps=args.steps, batch_size=args.batch,
-        learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
-    )
+    mp = ModelParams()
+    if args.widths:
+        widths = tuple(int(w) for w in args.widths.split(","))
+        mp = ModelParams(widths=widths, dense_width=widths[-1])
+    model = create_model(mp)
+    if args.ensemble:
+        params = _train_ensemble(model, ds, args)
+    else:
+        params, _ = train_classifier(
+            model, ds, num_steps=args.steps, batch_size=args.batch,
+            learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
+        )
 
     # held-out split: half for temperature fitting, half for reporting
     n_val = ds.test_images.shape[0] // 2
     val_x, val_y = jnp.asarray(ds.test_images[:n_val]), jnp.asarray(ds.test_labels[:n_val])
     test_x, test_y = jnp.asarray(ds.test_images[n_val:]), jnp.asarray(ds.test_labels[n_val:])
 
-    val_logits = classifier_eval_step(model.apply, params, val_x, val_y)["logits"]
-    temperature = float(fit_temperature(val_logits, val_y))
+    if args.ensemble:
+        # logit-averaged ensemble: temperature fits on the mean logits
+        def eval_logits(x):
+            return jnp.mean(jax.vmap(lambda p: model.apply(p, x))(params), axis=0)
 
-    out = classifier_eval_step(model.apply, params, test_x, test_y)
-    logits = out["logits"]
+        val_logits = eval_logits(val_x)
+        logits = eval_logits(test_x)
+        accuracy = jnp.mean(jnp.argmax(logits, -1) == test_y)
+        out = {"accuracy": accuracy, "logits": logits}
+    else:
+        val_logits = classifier_eval_step(model.apply, params, val_x, val_y)["logits"]
+        out = classifier_eval_step(model.apply, params, test_x, test_y)
+        logits = out["logits"]
+    temperature = float(fit_temperature(val_logits, val_y))
     probs = jax.nn.softmax(logits / temperature, axis=-1)
     conf = jnp.max(probs, axis=-1)
     preds = jnp.argmax(probs, axis=-1)
@@ -84,6 +136,7 @@ def main(argv=None) -> dict:
         ),
         "data_source": ds.source,
         "train_steps": args.steps,
+        "ensemble_size": args.ensemble or None,
     }
     print(json.dumps(metrics, indent=2))
 

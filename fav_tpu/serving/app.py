@@ -335,7 +335,11 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
     server = HttpServer()
     timer = StageTimer()
     inference = (
-        InferenceService(cfg.model, max_wait_ms=cfg.server.inference_max_wait_ms)
+        InferenceService(
+            cfg.model,
+            max_wait_ms=cfg.server.inference_max_wait_ms,
+            uncertainty=cfg.server.uncertainty,
+        )
         if cfg.server.model_scoring
         else None
     )

@@ -41,9 +41,17 @@ class InferenceService:
         model_params: ModelParams | None = None,
         checkpoint_dir: str | None = None,
         max_wait_ms: float = 4.0,
+        uncertainty: str = "msp",
     ):
+        """``uncertainty``: 'msp' (single deterministic forward, cheapest),
+        'mc_dropout' (cfg.mc_samples stochastic replicas, adds epistemic
+        mutual information), or 'ensemble' (cfg.ensemble_size members from a
+        stacked checkpoint or stacked random init)."""
+        if uncertainty not in ("msp", "mc_dropout", "ensemble"):
+            raise ValueError(f"unknown uncertainty mode: {uncertainty}")
         self.cfg = model_params or ModelParams()
         self.max_wait = max_wait_ms / 1e3
+        self.uncertainty = uncertainty
         self._queue: asyncio.Queue = asyncio.Queue()
         self._worker: asyncio.Task | None = None
         self._started = False
@@ -61,18 +69,27 @@ class InferenceService:
         import jax.numpy as jnp
 
         from fav_tpu.models.cnn import create_model
-        from fav_tpu.models.uncertainty import anomaly_from_confidence
+        from fav_tpu.models.uncertainty import (
+            anomaly_from_confidence,
+            init_ensemble,
+            mutual_information,
+            predictive_entropy,
+        )
 
         model = create_model(self.cfg)
         sample = jnp.zeros((1, self.cfg.image_size, self.cfg.image_size, self.cfg.channels))
-        params = model.init(jax.random.PRNGKey(0), sample)
+        if self.uncertainty == "ensemble":
+            params = init_ensemble(model, jax.random.PRNGKey(0), sample, self.cfg.ensemble_size)
+        else:
+            params = model.init(jax.random.PRNGKey(0), sample)
         self.source = "random_init"
 
         ckpt_dir = self._checkpoint_dir
         if ckpt_dir is None:
             from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
 
-            ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, "classifier")
+            name = "ensemble" if self.uncertainty == "ensemble" else "classifier"
+            ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, name)
         if os.path.isdir(ckpt_dir):
             try:
                 from fav_tpu.utils.checkpoint import restore_checkpoint
@@ -84,23 +101,48 @@ class InferenceService:
                 pass
 
         temperature = self._temperature
+        mode = self.uncertainty
+        mc_samples = self.cfg.mc_samples
+
+        def summarize(member_probs):
+            mean_probs = jnp.mean(member_probs, axis=0)
+            conf = jnp.max(mean_probs, axis=-1)
+            return {
+                "prediction": jnp.argmax(mean_probs, axis=-1),
+                "confidence": conf,
+                "anomaly": anomaly_from_confidence(conf),
+                "entropy": predictive_entropy(mean_probs),
+                "mutual_information": mutual_information(member_probs),
+            }
 
         @jax.jit
         def forward(params, images):
-            logits = model.apply(params, images)
-            probs = jax.nn.softmax(logits / temperature, axis=-1)
-            conf = jnp.max(probs, axis=-1)
-            return {
-                "prediction": jnp.argmax(probs, axis=-1),
-                "confidence": conf,
-                "anomaly": anomaly_from_confidence(conf),
-            }
+            if mode == "msp":
+                logits = model.apply(params, images)
+                return summarize(jax.nn.softmax(logits / temperature, -1)[None])
+            if mode == "mc_dropout":
+                keys = jax.random.split(jax.random.PRNGKey(7), mc_samples)
+
+                def one(k):
+                    logits = model.apply(params, images, train=True, rngs={"dropout": k})
+                    return jax.nn.softmax(logits / temperature, -1)
+
+                return summarize(jax.vmap(one)(keys))
+            # ensemble: vmap over the stacked member axis
+            member = jax.vmap(
+                lambda p: jax.nn.softmax(model.apply(p, images) / temperature, -1)
+            )(params)
+            return summarize(member)
 
         self._forward = forward
         self._params = params
 
     def info(self) -> dict:
-        return {"source": self.source, "temperature": self._temperature}
+        return {
+            "source": self.source,
+            "temperature": self._temperature,
+            "uncertainty": self.uncertainty,
+        }
 
     # ── public API ──
     async def score_frame(self, frame_rgb01: np.ndarray) -> dict:
@@ -155,11 +197,17 @@ class InferenceService:
         pred = np.asarray(out["prediction"])
         conf = np.asarray(out["confidence"])
         anom = np.asarray(out["anomaly"])
-        return [
-            {
+        ent = np.asarray(out["entropy"])
+        mi = np.asarray(out["mutual_information"])
+        results = []
+        for i in range(n):
+            res = {
                 "prediction": int(pred[i]),
                 "confidence": round(float(conf[i]), 4),
                 "model_anomaly": round(float(anom[i]), 4),
+                "entropy": round(float(ent[i]), 4),
             }
-            for i in range(n)
-        ]
+            if self.uncertainty != "msp":
+                res["mutual_information"] = round(float(mi[i]), 4)
+            results.append(res)
+        return results

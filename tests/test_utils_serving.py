@@ -77,11 +77,37 @@ def test_inference_service_single_and_batch():
         return one, many
 
     one, many = asyncio.run(run())
-    assert set(one) == {"prediction", "confidence", "model_anomaly"}
+    assert {"prediction", "confidence", "model_anomaly", "entropy"} <= set(one)
     assert 0.0 <= one["confidence"] <= 1.0
     assert 0.0 <= one["model_anomaly"] <= 1.0
     assert len(many) == 6
     assert service.source == "random_init"  # no checkpoint in repo during tests
+
+
+@pytest.mark.parametrize("mode", ["mc_dropout", "ensemble"])
+def test_inference_service_uncertainty_modes(mode):
+    from fav_tpu.serving.inference import InferenceService
+
+    cfg = ModelParams(widths=(8, 16), dense_width=16, mc_samples=3, ensemble_size=2)
+    service = InferenceService(cfg, uncertainty=mode)
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert "mutual_information" in res
+    assert res["mutual_information"] >= -1e-6  # replicas disagree -> MI > 0
+    assert service.info()["uncertainty"] == mode
+
+
+def test_inference_service_rejects_bad_mode():
+    from fav_tpu.serving.inference import InferenceService
+
+    with pytest.raises(ValueError):
+        InferenceService(SMALL, uncertainty="voodoo")
 
 
 def test_inference_service_batch_matches_single():
@@ -127,11 +153,11 @@ def test_pretrain_cli_smoke(tmp_path):
     from fav_tpu.serving.inference import InferenceService
 
     out = str(tmp_path / "clf")
-    metrics = pretrain.main(["--steps", "60", "--batch", "64", "--out", out, "--log-every", "0"])
+    metrics = pretrain.main(["--steps", "60", "--batch", "64", "--widths", "8,16", "--out", out, "--log-every", "0"])
     assert metrics["accuracy"] > 0.2  # tiny run, just must learn something
     assert os.path.isdir(out)
 
-    service = InferenceService(ModelParams(), checkpoint_dir=out)
+    service = InferenceService(ModelParams(widths=(8, 16), dense_width=16), checkpoint_dir=out)
 
     async def run():
         frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
@@ -160,3 +186,29 @@ def test_evaluate_cli_smoke(tmp_path):
     assert 0.0 <= result["summary"]["mean_corrupted_accuracy"] <= 1.0
     with open(out) as f:
         assert json.load(f)["summary"]["model"] == "random_init"
+
+
+def test_pretrain_ensemble_smoke(tmp_path):
+    """Ensemble pretrain -> stacked checkpoint -> ensemble-mode serving."""
+    from fav_tpu.models import pretrain
+    from fav_tpu.serving.inference import InferenceService
+
+    out = str(tmp_path / "ens")
+    metrics = pretrain.main(
+        ["--steps", "30", "--batch", "64", "--ensemble", "2", "--widths", "8,16", "--out", out, "--log-every", "0"]
+    )
+    assert metrics["ensemble_size"] == 2
+    service = InferenceService(
+        ModelParams(widths=(8, 16), dense_width=16, ensemble_size=2),
+        checkpoint_dir=out, uncertainty="ensemble"
+    )
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:")
+    assert "mutual_information" in res
