@@ -46,6 +46,40 @@ def _train_ensemble(model, ds, args):
     return states.params
 
 
+def _pretrain_autoencoder(args) -> dict:
+    """Train the conv-AE on normal data only and checkpoint it with its
+    reconstruction-error baseline (the reference's AE-as-anomaly-sensor
+    design, reference docs/system_notes.md:146-170)."""
+    import jax.numpy as jnp
+
+    from fav_tpu.data.cifar import load_cifar10
+    from fav_tpu.models.cnn import ConvAutoencoder, create_autoencoder
+    from fav_tpu.models.train import train_autoencoder
+    from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR, save_checkpoint
+
+    out_dir = args.out or os.path.join(DEFAULT_CKPT_DIR, "autoencoder")
+    ds = load_cifar10()
+    ae = create_autoencoder()
+    params, train_metrics = train_autoencoder(
+        ae, ds.train_images, num_steps=args.steps, batch_size=args.batch,
+        learning_rate=args.lr, seed=args.seed,
+    )
+    held_out = jnp.asarray(ds.test_images[:512])
+    err = ConvAutoencoder.reconstruction_error(ae.apply(params, held_out), held_out)
+    metrics = {
+        "err_baseline": round(float(jnp.mean(err)), 6),
+        "err_p95": round(float(jnp.percentile(err, 95)), 6),
+        "final_train_loss": round(train_metrics["loss"], 6),
+        "data_source": ds.source,
+        "train_steps": args.steps,
+        "model": "ConvAutoencoder",
+    }
+    print(json.dumps(metrics, indent=2))
+    save_checkpoint(out_dir, params, metadata=metrics)
+    print(f"checkpoint -> {out_dir}")
+    return metrics
+
+
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=1500)
@@ -59,7 +93,14 @@ def main(argv=None) -> dict:
                              "checkpoint for uncertainty='ensemble' serving)")
     parser.add_argument("--widths", type=str, default="",
                         help="comma-separated CNN stage widths (default: config)")
+    parser.add_argument("--autoencoder", action="store_true",
+                        help="train the conv autoencoder on normal frames; its "
+                             "reconstruction-error baseline goes into checkpoint "
+                             "metadata for uncertainty='autoencoder' serving")
     args = parser.parse_args(argv)
+
+    if args.autoencoder:
+        return _pretrain_autoencoder(args)
 
     import jax
     import jax.numpy as jnp

@@ -45,9 +45,11 @@ class InferenceService:
     ):
         """``uncertainty``: 'msp' (single deterministic forward, cheapest),
         'mc_dropout' (cfg.mc_samples stochastic replicas, adds epistemic
-        mutual information), or 'ensemble' (cfg.ensemble_size members from a
-        stacked checkpoint or stacked random init)."""
-        if uncertainty not in ("msp", "mc_dropout", "ensemble"):
+        mutual information), 'ensemble' (cfg.ensemble_size members from a
+        stacked checkpoint or stacked random init), or 'autoencoder'
+        (reconstruction-error anomaly — the reference's canonical ML design,
+        reference docs/system_notes.md:146-170)."""
+        if uncertainty not in ("msp", "mc_dropout", "ensemble", "autoencoder"):
             raise ValueError(f"unknown uncertainty mode: {uncertainty}")
         self.cfg = model_params or ModelParams()
         self.max_wait = max_wait_ms / 1e3
@@ -60,6 +62,7 @@ class InferenceService:
         self._forward = None
         self._params = None
         self._temperature = 1.0
+        self._meta: dict = {}
 
     # ── lazy device setup (first use; jax import stays off server boot) ──
     def _ensure_model(self) -> None:
@@ -76,29 +79,62 @@ class InferenceService:
             predictive_entropy,
         )
 
-        model = create_model(self.cfg)
         sample = jnp.zeros((1, self.cfg.image_size, self.cfg.image_size, self.cfg.channels))
-        if self.uncertainty == "ensemble":
-            params = init_ensemble(model, jax.random.PRNGKey(0), sample, self.cfg.ensemble_size)
-        else:
+        if self.uncertainty == "autoencoder":
+            from fav_tpu.models.cnn import create_autoencoder
+
+            model = create_autoencoder(self.cfg)
             params = model.init(jax.random.PRNGKey(0), sample)
+        else:
+            model = create_model(self.cfg)
+            if self.uncertainty == "ensemble":
+                params = init_ensemble(model, jax.random.PRNGKey(0), sample, self.cfg.ensemble_size)
+            else:
+                params = model.init(jax.random.PRNGKey(0), sample)
         self.source = "random_init"
 
         ckpt_dir = self._checkpoint_dir
         if ckpt_dir is None:
             from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
 
-            name = "ensemble" if self.uncertainty == "ensemble" else "classifier"
+            name = {"ensemble": "ensemble", "autoencoder": "autoencoder"}.get(
+                self.uncertainty, "classifier"
+            )
             ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, name)
         if os.path.isdir(ckpt_dir):
             try:
                 from fav_tpu.utils.checkpoint import restore_checkpoint
 
                 params, meta = restore_checkpoint(ckpt_dir, params)
+                self._meta = meta
                 self._temperature = float(meta.get("temperature", 1.0))
                 self.source = f"checkpoint:{ckpt_dir}"
             except Exception:
                 pass
+
+        if self.uncertainty == "autoencoder":
+            # normalize reconstruction MSE by the training-set baseline from
+            # checkpoint metadata (reference's ~0.019 baseline precedent,
+            # anomaly_simulator.py:22-24); saturate at 10x baseline
+            baseline = float(getattr(self, "_meta", {}).get("err_baseline", 0.002)) or 0.002
+
+            @jax.jit
+            def ae_forward(params, images):
+                recon = model.apply(params, images)
+                err = jnp.mean((recon - images.astype(recon.dtype)) ** 2, axis=(-3, -2, -1))
+                anomaly = jnp.clip((err - baseline) / (9.0 * baseline), 0.0, 1.0)
+                zeros = jnp.zeros_like(err)
+                return {
+                    "prediction": jnp.full(err.shape, -1, jnp.int32),
+                    "confidence": 1.0 - anomaly,
+                    "anomaly": anomaly,
+                    "entropy": err,  # raw reconstruction error in the entropy slot
+                    "mutual_information": zeros,
+                }
+
+            self._forward = ae_forward
+            self._params = params
+            return
 
         temperature = self._temperature
         mode = self.uncertainty

@@ -212,3 +212,35 @@ def test_pretrain_ensemble_smoke(tmp_path):
     res = asyncio.run(run())
     assert service.source.startswith("checkpoint:")
     assert "mutual_information" in res
+
+
+def test_autoencoder_serving_mode(tmp_path):
+    """AE pretrain -> checkpoint with err_baseline -> anomaly rises on noise
+    (the reference's reconstruction-error-as-anomaly design)."""
+    from fav_tpu.models import pretrain
+    from fav_tpu.serving.inference import InferenceService
+
+    out = str(tmp_path / "ae")
+    metrics = pretrain.main(
+        ["--steps", "120", "--batch", "64", "--autoencoder", "--out", out, "--log-every", "0"]
+    )
+    assert metrics["err_baseline"] > 0
+    service = InferenceService(ModelParams(), checkpoint_dir=out, uncertainty="autoencoder")
+
+    async def run():
+        from fav_tpu.data.cifar import synthetic_cifar10
+
+        ds = synthetic_cifar10(train_size=8, test_size=4, seed=9)
+        clean = ds.test_images[0]
+        noisy = np.clip(
+            clean + 0.5 * np.random.default_rng(0).normal(size=clean.shape).astype(np.float32), 0, 1
+        )
+        r_clean = await service.score_frame(clean)
+        r_noisy = await service.score_frame(noisy)
+        await service.close()
+        return r_clean, r_noisy
+
+    r_clean, r_noisy = asyncio.run(run())
+    assert service.source.startswith("checkpoint:")
+    assert r_clean["prediction"] == -1  # AE mode has no classifier
+    assert r_noisy["model_anomaly"] > r_clean["model_anomaly"]
