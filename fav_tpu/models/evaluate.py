@@ -84,24 +84,26 @@ def main(argv=None) -> dict:
         grid = corruption_sweep(model.apply, params, images, labels, key,
                                 corruptions=names, temperature=temperature)
 
-    # aggregate: mean over severities per corruption + overall
-    per_corruption = {
-        name: {
+    # aggregate: mean over severities per corruption + overall. AUROC is only
+    # defined where failures exist — zero-failure cells are excluded, not
+    # counted as 0 (ranking nothing is not "perfectly wrong").
+    def agg(cells):
+        scored = [c["auroc"] for c in cells.values() if c["failure_rate"] > 0]
+        return {
             "accuracy": round(sum(c["accuracy"] for c in cells.values()) / len(cells), 4),
-            "auroc": round(sum(c["auroc"] for c in cells.values()) / len(cells), 4),
+            "auroc": round(sum(scored) / len(scored), 4) if scored else None,
             "mean_anomaly": round(sum(c["mean_anomaly"] for c in cells.values()) / len(cells), 4),
         }
-        for name, cells in grid.items()
-    }
+
+    per_corruption = {name: agg(cells) for name, cells in grid.items()}
+    aurocs = [v["auroc"] for v in per_corruption.values() if v["auroc"] is not None]
     overall = {
         "model": source,
         "images_per_cell": n,
         "mean_corrupted_accuracy": round(
             sum(v["accuracy"] for v in per_corruption.values()) / len(per_corruption), 4
         ),
-        "mean_failure_auroc": round(
-            sum(v["auroc"] for v in per_corruption.values()) / len(per_corruption), 4
-        ),
+        "mean_failure_auroc": round(sum(aurocs) / len(aurocs), 4) if aurocs else None,
         "devices": jax.device_count(),
         "data_source": ds.source,
     }
