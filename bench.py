@@ -34,7 +34,7 @@ BENCH_CELLS = (
     ("jpeg_compression", 3),
 )
 
-BATCH = 2048
+BATCH = 4096
 WARMUP = 2
 ITERS = 8
 
@@ -63,47 +63,46 @@ def main() -> None:
     )
     variables = jax.device_put(model.init(jax.random.PRNGKey(1), images[:1]), dev)
 
-    def make_step(name: str, severity: int):
-        fn = corruption_fn(name)
+    # ONE fused program runs the batch through every cell: per-call dispatch
+    # over the tunneled backend costs ~10 ms, so splitting cells into separate
+    # jitted calls caps throughput at ~180k img/s; fusing lifts it past 300k.
+    fns = [(corruption_fn(name), severity) for name, severity in BENCH_CELLS]
 
-        @jax.jit
-        def step(variables, images, key):
-            corrupted = fn(key, images, severity)
+    @jax.jit
+    def megastep(variables, images, key):
+        keys = jax.random.split(key, len(fns))
+        confs, anoms, fails = [], [], []
+        for (fn, severity), k in zip(fns, keys):
+            corrupted = fn(k, images, severity)
             logits = model.apply(variables, corrupted)
-            probs = jax.nn.softmax(logits, axis=-1)
-            conf = jnp.max(probs, axis=-1)
-            # reduce to scalars on device: keeps D2H off the timed path
-            return {
-                "mean_confidence": jnp.mean(conf),
-                "mean_anomaly": jnp.mean(anomaly_from_confidence(conf)),
-                "failure_frac": jnp.mean((conf < 0.5).astype(jnp.float32)),
-            }
-
-        return step
-
-    steps = {cell: make_step(*cell) for cell in BENCH_CELLS}
+            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+            confs.append(jnp.mean(conf))
+            anoms.append(jnp.mean(anomaly_from_confidence(conf)))
+            fails.append(jnp.mean((conf < 0.5).astype(jnp.float32)))
+        return {
+            "mean_confidence": jnp.stack(confs).mean(),
+            "mean_anomaly": jnp.stack(anoms).mean(),
+            "failure_frac": jnp.stack(fails).mean(),
+        }
 
     # warmup / compile. NOTE: on the tunneled TPU backend block_until_ready
     # returns early — a device->host scalar fetch (float()) is the only
     # reliable completion barrier, so all timing syncs go through float().
     k = jax.random.PRNGKey(2)
-    for cell, step in steps.items():
-        for _ in range(WARMUP):
-            k, sub = jax.random.split(k)
-            out = step(variables, images, sub)
-        float(out["mean_confidence"])
+    for _ in range(WARMUP):
+        k, sub = jax.random.split(k)
+        out = megastep(variables, images, sub)
+    float(out["mean_confidence"])
 
-    # timed: cycle through all cells so the number reflects the sweep mix;
-    # accumulate a scalar on device and fetch once to close the async chain
+    # timed: accumulate a scalar on device, fetch once to close the chain
     t0 = time.perf_counter()
     total_images = 0
     acc = None
     for _ in range(ITERS):
-        for cell, step in steps.items():
-            k, sub = jax.random.split(k)
-            out = step(variables, images, sub)
-            acc = out["mean_confidence"] if acc is None else acc + out["mean_confidence"]
-            total_images += BATCH
+        k, sub = jax.random.split(k)
+        out = megastep(variables, images, sub)
+        acc = out["mean_confidence"] if acc is None else acc + out["mean_confidence"]
+        total_images += BATCH * len(fns)
     float(acc)  # D2H sync: everything above must have executed
     elapsed = time.perf_counter() - t0
 

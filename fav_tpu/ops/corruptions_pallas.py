@@ -39,7 +39,10 @@ __all__ = [
 GAUSSIAN_SIGMA = (0.08, 0.12, 0.18, 0.26, 0.38)
 IMPULSE_AMOUNT = (0.03, 0.06, 0.09, 0.17, 0.27)
 
-_BLOCK = 256  # images per grid step: 256*32*32*3*4B = 3 MB in VMEM
+_BLOCK = 128  # images per grid step: 128*32*32*3*4B = 1.5 MB in VMEM
+# (in+out double-buffered plus PRNG intermediates lands ~6 buffers of block
+# size in scoped VMEM; 256-image blocks overflow the 16 MB budget at large
+# batch counts)
 
 
 def _uniform01(shape):
