@@ -59,7 +59,13 @@ def _pretrain_autoencoder(args) -> dict:
 
     out_dir = args.out or os.path.join(DEFAULT_CKPT_DIR, "autoencoder")
     ds = load_cifar10()
-    ae = create_autoencoder()
+    if args.widths:
+        from fav_tpu.models.cnn import ConvAutoencoder as AE
+
+        widths = tuple(int(w) for w in args.widths.split(","))
+        ae = AE(widths=widths, latent=widths[-1])
+    else:
+        ae = create_autoencoder()
     params, train_metrics = train_autoencoder(
         ae, ds.train_images, num_steps=args.steps, batch_size=args.batch,
         learning_rate=args.lr, seed=args.seed,
@@ -73,6 +79,9 @@ def _pretrain_autoencoder(args) -> dict:
         "data_source": ds.source,
         "train_steps": args.steps,
         "model": "ConvAutoencoder",
+        # serving rebuilds the exact architecture from these
+        "ae_widths": list(ae.widths),
+        "ae_latent": ae.latent,
     }
     print(json.dumps(metrics, indent=2))
     save_checkpoint(out_dir, params, metadata=metrics)

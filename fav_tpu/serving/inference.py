@@ -81,9 +81,18 @@ class InferenceService:
 
         sample = jnp.zeros((1, self.cfg.image_size, self.cfg.image_size, self.cfg.channels))
         if self.uncertainty == "autoencoder":
-            from fav_tpu.models.cnn import create_autoencoder
+            from fav_tpu.models.cnn import ConvAutoencoder, create_autoencoder
 
-            model = create_autoencoder(self.cfg)
+            # architecture must match the checkpoint: read metadata up front
+            pre_meta = self._peek_metadata()
+            if "ae_widths" in pre_meta:
+                model = ConvAutoencoder(
+                    widths=tuple(pre_meta["ae_widths"]),
+                    latent=int(pre_meta.get("ae_latent", pre_meta["ae_widths"][-1])),
+                    compute_dtype=self.cfg.compute_dtype,
+                )
+            else:
+                model = create_autoencoder(self.cfg)
             params = model.init(jax.random.PRNGKey(0), sample)
         else:
             model = create_model(self.cfg)
@@ -172,6 +181,28 @@ class InferenceService:
 
         self._forward = forward
         self._params = params
+
+    def _peek_metadata(self) -> dict:
+        """Read checkpoint metadata without loading params (architecture
+        selection must precede template construction)."""
+        import json
+
+        ckpt_dir = self._checkpoint_dir
+        if ckpt_dir is None:
+            from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
+
+            name = {"ensemble": "ensemble", "autoencoder": "autoencoder"}.get(
+                self.uncertainty, "classifier"
+            )
+            ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, name)
+        meta_path = os.path.join(ckpt_dir, "metadata.json")
+        if os.path.isfile(meta_path):
+            try:
+                with open(meta_path) as f:
+                    return json.load(f)
+            except Exception:
+                pass
+        return {}
 
     def info(self) -> dict:
         return {

@@ -222,7 +222,8 @@ def test_autoencoder_serving_mode(tmp_path):
 
     out = str(tmp_path / "ae")
     metrics = pretrain.main(
-        ["--steps", "120", "--batch", "64", "--autoencoder", "--out", out, "--log-every", "0"]
+        ["--steps", "120", "--batch", "64", "--autoencoder", "--widths", "8,16",
+         "--out", out, "--log-every", "0"]
     )
     assert metrics["err_baseline"] > 0
     service = InferenceService(ModelParams(), checkpoint_dir=out, uncertainty="autoencoder")
