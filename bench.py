@@ -34,7 +34,7 @@ BENCH_CELLS = (
     ("jpeg_compression", 3),
 )
 
-BATCH = 4096
+BATCH = 8192
 WARMUP = 2
 ITERS = 8
 
