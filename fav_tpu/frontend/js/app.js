@@ -230,4 +230,22 @@
       scenarioTimer = SCENARIOS[btn.dataset.scenario].map((s) => setTimeout(s.a, s.t));
     };
   });
+
+  // ── server performance panel: poll /api/metrics every 5 s ──
+  async function pollMetrics() {
+    try {
+      const res = await fetch("/api/metrics");
+      const m = await res.json();
+      for (const stage of ["tick", "analysis", "inference", "encode"]) {
+        const s = m.stages && m.stages[stage];
+        $("perf-" + stage).textContent = s ? s.p95_ms.toFixed(1) + " ms" : "—";
+      }
+      if (m.inference) {
+        const src = m.inference.source.startsWith("checkpoint") ? "trained" : m.inference.source;
+        $("perf-model").textContent = `model: ${src} · ${m.inference.uncertainty}`;
+      }
+    } catch { /* server restarting; retry next poll */ }
+  }
+  pollMetrics();
+  setInterval(pollMetrics, 5000);
 })();
