@@ -155,6 +155,7 @@ class ModelParams:
     num_classes: int = 10
     image_size: int = 32
     channels: int = 3
+    arch: str = "vgg"  # 'vgg' (FailureAwareCNN) | 'resnet' (ResNetSmall)
     widths: tuple = (64, 128, 256)
     dense_width: int = 256
     dropout_rate: float = 0.1

@@ -35,7 +35,13 @@ import jax.numpy as jnp
 
 from fav_tpu.config import ModelParams
 
-__all__ = ["FailureAwareCNN", "ConvAutoencoder", "create_model", "create_autoencoder"]
+__all__ = [
+    "FailureAwareCNN",
+    "ResNetSmall",
+    "ConvAutoencoder",
+    "create_model",
+    "create_autoencoder",
+]
 
 
 def _dtype(name: str):
@@ -76,6 +82,58 @@ class FailureAwareCNN(nn.Module):
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
 
 
+class ResidualBlock(nn.Module):
+    """Pre-activation residual block (GN -> relu -> conv x2 + skip)."""
+
+    width: int
+    strides: tuple = (1, 1)
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = _dtype(self.compute_dtype)
+        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), dtype=dt)(x)
+        h = nn.relu(h)
+        skip = x
+        if self.strides != (1, 1) or x.shape[-1] != self.width:
+            skip = nn.Conv(self.width, (1, 1), strides=self.strides, dtype=dt)(h)
+        h = nn.Conv(self.width, (3, 3), strides=self.strides, padding="SAME", dtype=dt)(h)
+        h = nn.GroupNorm(num_groups=min(32, self.width), dtype=dt)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.width, (3, 3), padding="SAME", dtype=dt)(h)
+        return skip + h
+
+
+class ResNetSmall(nn.Module):
+    """Second model family: pre-activation ResNet for 32x32 inputs.
+
+    Same serving/uncertainty/training surface as :class:`FailureAwareCNN`
+    (apply(params, x, train=, rngs=) -> float32 logits), so every harness —
+    MC-dropout, ensembles, sweeps, the micro-batched server — works on it
+    unchanged. Select with ``ModelParams(arch='resnet')``.
+    """
+
+    num_classes: int = 10
+    widths: Sequence[int] = (64, 128, 256)
+    blocks_per_stage: int = 2
+    dropout_rate: float = 0.1
+    compute_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        dt = _dtype(self.compute_dtype)
+        h = nn.Conv(self.widths[0], (3, 3), padding="SAME", dtype=dt)(x.astype(dt))
+        for stage, width in enumerate(self.widths):
+            for block in range(self.blocks_per_stage):
+                strides = (2, 2) if (stage > 0 and block == 0) else (1, 1)
+                h = ResidualBlock(width, strides, self.compute_dtype)(h)
+            h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        h = nn.GroupNorm(num_groups=min(32, self.widths[-1]), dtype=dt)(h)
+        h = nn.relu(h)
+        h = jnp.mean(h, axis=(-3, -2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(h)
+
+
 class ConvAutoencoder(nn.Module):
     """Strided conv AE, 32x32x3 -> 4x4xlatent -> 32x32x3.
 
@@ -110,8 +168,15 @@ class ConvAutoencoder(nn.Module):
         return jnp.mean((recon - x.astype(recon.dtype)) ** 2, axis=(-3, -2, -1))
 
 
-def create_model(params: ModelParams | None = None) -> FailureAwareCNN:
+def create_model(params: ModelParams | None = None):
     p = params or ModelParams()
+    if p.arch == "resnet":
+        return ResNetSmall(
+            num_classes=p.num_classes,
+            widths=tuple(p.widths),
+            dropout_rate=p.dropout_rate,
+            compute_dtype=p.compute_dtype,
+        )
     return FailureAwareCNN(
         num_classes=p.num_classes,
         widths=tuple(p.widths),

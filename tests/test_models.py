@@ -207,3 +207,36 @@ def test_ensemble_train_step(small_model):
     # members stay distinct after the update
     leaf = jax.tree_util.tree_leaves(states.params)[-1]
     assert not np.allclose(np.asarray(leaf[0]), np.asarray(leaf[1]))
+
+
+def test_resnet_family_full_surface():
+    """The second model family must ride every harness unchanged: forward,
+    dropout-rng purity, MC-dropout, ensembles, one train step."""
+    import optax
+
+    from fav_tpu.models.train import classifier_train_step, create_train_state
+
+    cfg = ModelParams(arch="resnet", widths=(8, 16), dropout_rate=0.1)
+    model = create_model(cfg)
+    assert type(model).__name__ == "ResNetSmall"
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    logits = jax.jit(model.apply)(params, x)
+    assert logits.shape == (4, 10) and logits.dtype == jnp.float32
+
+    out = mc_dropout_predict(model.apply, params, x, jax.random.PRNGKey(2), num_samples=3)
+    assert out["member_probs"].shape == (3, 4, 10)
+
+    stacked = init_ensemble(model, jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), 2)
+    eout = ensemble_predict(model.apply, stacked, x)
+    assert eout["probs"].shape == (4, 10)
+
+    state, tx = create_train_state(params, 1e-3)
+    ds = synthetic_cifar10(train_size=64, test_size=8, seed=6)
+    state2, metrics = classifier_train_step(
+        model.apply, tx, state,
+        jnp.asarray(ds.train_images[:32]), jnp.asarray(ds.train_labels[:32]),
+        jax.random.PRNGKey(4),
+    )
+    assert float(metrics["loss"]) > 0
+    assert int(state2.step) == 1
