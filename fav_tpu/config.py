@@ -226,7 +226,9 @@ def config_from_env(base: FrameworkConfig | None = None) -> FrameworkConfig:
         sec_updates: dict[str, Any] = {}
         for f in dataclasses.fields(section):
             env_key = f"FAV_{section_field.name.upper()}_{f.name.upper()}"
-            if env_key in os.environ:
+            # empty value = unset (an empty string coerced to tuple would
+            # produce ("",) and poison downstream shapes)
+            if os.environ.get(env_key):
                 base_val = getattr(section, f.name)
                 sec_updates[f.name] = _coerce(os.environ[env_key], type(base_val))
         if sec_updates:

@@ -144,7 +144,11 @@ async def _tick_live(conn: ConnectionState, dt: float) -> dict:
                 small = await asyncio.to_thread(
                     _frame_for_model, frame, conn.config.model.image_size
                 )
-                conn.last_inference = await conn.inference.score_frame(small)
+                # non-blocking while the model warms up: the 30 Hz heartbeat
+                # must not stall behind the first compile
+                scored = await conn.inference.maybe_score_frame(small)
+            if scored is not None:
+                conn.last_inference = scored
         conn.last_frame_id = frame_id
     analysis = conn.last_analysis
     anomaly = analysis["anomaly_score"]

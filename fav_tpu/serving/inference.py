@@ -57,6 +57,7 @@ class InferenceService:
         self._queue: asyncio.Queue = asyncio.Queue()
         self._worker: asyncio.Task | None = None
         self._started = False
+        self.ready = False  # True once the model is built/compiled
         self.source = "uninitialized"
         self._checkpoint_dir = checkpoint_dir
         self._forward = None
@@ -212,14 +213,27 @@ class InferenceService:
         }
 
     # ── public API ──
-    async def score_frame(self, frame_rgb01: np.ndarray) -> dict:
-        """Submit one [S,S,3] float frame in [0,1]; await its scores."""
+    def _ensure_worker(self) -> None:
         if not self._started:
             self._started = True
             self._worker = asyncio.get_running_loop().create_task(self._run())
+
+    async def score_frame(self, frame_rgb01: np.ndarray) -> dict:
+        """Submit one [S,S,3] float frame in [0,1]; await its scores."""
+        self._ensure_worker()
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self._queue.put((frame_rgb01, fut))
         return await fut
+
+    async def maybe_score_frame(self, frame_rgb01: np.ndarray) -> dict | None:
+        """Non-blocking variant for the streaming tick: while the model is
+        still building/compiling (tens of seconds on first use), return None
+        immediately so the 30 Hz loop keeps its heartbeat — scores attach
+        once warm. Kicks the worker so warmup starts on first call."""
+        self._ensure_worker()
+        if not self.ready:
+            return None
+        return await self.score_frame(frame_rgb01)
 
     async def close(self) -> None:
         if self._worker is not None:
@@ -233,7 +247,24 @@ class InferenceService:
 
     # ── worker ──
     async def _run(self) -> None:
-        await asyncio.to_thread(self._ensure_model)
+        try:
+            await asyncio.to_thread(self._ensure_model)
+            # compile the smallest bucket so the first real frame is instant
+            warm = np.zeros(
+                (self.cfg.image_size, self.cfg.image_size, self.cfg.channels), np.float32
+            )
+            await asyncio.to_thread(self._infer, [warm])
+        except Exception as e:  # a dead scorer must be visible, not silent
+            self.source = f"error:{type(e).__name__}: {e}"
+            import traceback
+
+            traceback.print_exc()
+            # drain queue forever, failing any blocking score_frame callers
+            while True:
+                _, fut = await self._queue.get()
+                if not fut.done():
+                    fut.set_exception(RuntimeError(self.source))
+        self.ready = True
         while True:
             frame, fut = await self._queue.get()
             batch = [(frame, fut)]
