@@ -190,6 +190,9 @@ class ServerParams:
     inference_max_wait_ms: float = 4.0
     # 'msp' | 'mc_dropout' | 'ensemble' (fav_tpu/serving/inference.py)
     uncertainty: str = "msp"
+    # micro-batch frame analysis across connections (one device call for N
+    # live streams instead of N calls; fav_tpu/serving/analysis.py)
+    batched_analysis: bool = True
 
 
 @dataclass(frozen=True)

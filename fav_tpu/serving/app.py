@@ -40,6 +40,7 @@ from fav_tpu.core.trust import TrustEngine
 from fav_tpu.io.jpeg import frame_to_base64_jpeg
 from fav_tpu.io.video import VideoSource
 from fav_tpu.ops.signal import SignalAnalyzer
+from fav_tpu.serving.analysis import AnalysisService
 from fav_tpu.serving.httpws import HttpServer, Request, Response, WebSocket, WebSocketClosed
 from fav_tpu.serving.inference import InferenceService
 from fav_tpu.sim.anomaly_sim import AnomalySimulator
@@ -73,6 +74,8 @@ class ConnectionState:
     last_analysis: dict = field(default_factory=dict)
     last_inference: dict = field(default_factory=dict)
     inference: InferenceService | None = None  # shared, set by create_app
+    analysis: "AnalysisService | None" = None  # shared, set by create_app
+    analysis_carry: object = None  # this connection's temporal analyzer state
     timer: StageTimer | None = None  # shared, set by create_app
 
     def __post_init__(self):
@@ -94,6 +97,7 @@ class ConnectionState:
         self.logger.reset()
         self.attributor.reset()
         self.analyzer.reset()
+        self.analysis_carry = None
         self.last_frame_id = 0
         self.last_analysis = {}
 
@@ -138,7 +142,20 @@ async def _tick_live(conn: ConnectionState, dt: float) -> dict:
     if is_new:
         # analysis runs off the event loop — cv2/JAX work must not stall WS IO
         with conn.timer.stage("analysis") if conn.timer else contextlib.nullcontext():
-            conn.last_analysis = await asyncio.to_thread(conn.analyzer.analyze_frame, frame)
+            if conn.analysis is not None and frame.shape[:2] == (
+                conn.analysis.height, conn.analysis.width
+            ):
+                # micro-batched across connections: one device call serves
+                # every live stream's frame
+                if conn.analysis_carry is None:
+                    conn.analysis_carry = conn.analysis.new_carry()
+                conn.analysis_carry, conn.last_analysis = await conn.analysis.analyze(
+                    frame, conn.analysis_carry
+                )
+            else:
+                conn.last_analysis = await asyncio.to_thread(
+                    conn.analyzer.analyze_frame, frame
+                )
         if conn.inference is not None:
             with conn.timer.stage("inference") if conn.timer else contextlib.nullcontext():
                 small = await asyncio.to_thread(
@@ -225,6 +242,7 @@ async def _handle_control(ws: WebSocket, conn: ConnectionState, msg: dict) -> No
         conn.source_mode = mode
         # mode switch resets analyzer + engine + attributor (main.py:258-261)
         conn.analyzer.reset()
+        conn.analysis_carry = None  # fresh temporal state for the new source
         conn.engine.reset()
         conn.attributor.reset()
         conn.last_frame_id = 0
@@ -347,6 +365,16 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
         if cfg.server.model_scoring
         else None
     )
+    analysis = (
+        AnalysisService(
+            cfg.analyzer,
+            height=cfg.video.process_height,
+            width=cfg.video.process_width,
+            max_wait_ms=cfg.server.inference_max_wait_ms,
+        )
+        if cfg.server.batched_analysis
+        else None
+    )
 
     # ── pages + static (reference main.py:34-65) ──
     def page(name: str):
@@ -403,6 +431,7 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
     async def ws_stream(request: Request, ws: WebSocket) -> None:
         conn = ConnectionState(cfg)
         conn.inference = inference
+        conn.analysis = analysis
         conn.timer = timer
         loop_task = asyncio.create_task(_stream_loop(ws, conn))
         try:
