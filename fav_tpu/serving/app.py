@@ -484,11 +484,21 @@ def main() -> None:  # pragma: no cover
     cfg = config_from_env()
 
     async def _run():
+        import signal
+
         app = create_app(cfg)
         srv = await app.serve(cfg.server.host, cfg.server.port)
         print(f"fav_tpu serving on http://{cfg.server.host}:{cfg.server.port}")
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except NotImplementedError:  # non-unix
+                pass
         async with srv:
-            await srv.serve_forever()
+            await stop.wait()  # graceful: finish in-flight writes, then close
+        print("fav_tpu server stopped")
 
     asyncio.run(_run())
 
