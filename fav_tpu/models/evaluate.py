@@ -28,6 +28,8 @@ def main(argv=None) -> dict:
                         help="comma-separated subset (default: all 15)")
     parser.add_argument("--widths", type=str, default="",
                         help="comma-separated CNN stage widths (default: config)")
+    parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet"),
+                        help="classifier family (fav_tpu/models/cnn.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -51,10 +53,10 @@ def main(argv=None) -> dict:
     from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR, restore_checkpoint
 
     ds = load_cifar10()
-    mp = ModelParams()
+    mp = ModelParams(arch=args.arch)
     if args.widths:
         widths = tuple(int(w) for w in args.widths.split(","))
-        mp = ModelParams(widths=widths, dense_width=widths[-1])
+        mp = ModelParams(arch=args.arch, widths=widths, dense_width=widths[-1])
     model = create_model(mp)
     sample = jnp.zeros((1,) + ds.test_images.shape[1:], jnp.float32)
     params = model.init(jax.random.PRNGKey(0), sample)

@@ -102,6 +102,8 @@ def main(argv=None) -> dict:
                              "checkpoint for uncertainty='ensemble' serving)")
     parser.add_argument("--widths", type=str, default="",
                         help="comma-separated CNN stage widths (default: config)")
+    parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet"),
+                        help="classifier family (fav_tpu/models/cnn.py)")
     parser.add_argument("--autoencoder", action="store_true",
                         help="train the conv autoencoder on normal frames; its "
                              "reconstruction-error baseline goes into checkpoint "
@@ -132,10 +134,10 @@ def main(argv=None) -> dict:
     ds = load_cifar10()
     print(f"dataset: {ds.source} ({ds.train_images.shape[0]} train / {ds.test_images.shape[0]} test)")
 
-    mp = ModelParams()
+    mp = ModelParams(arch=args.arch)
     if args.widths:
         widths = tuple(int(w) for w in args.widths.split(","))
-        mp = ModelParams(widths=widths, dense_width=widths[-1])
+        mp = ModelParams(arch=args.arch, widths=widths, dense_width=widths[-1])
     model = create_model(mp)
     if args.ensemble:
         params = _train_ensemble(model, ds, args)

@@ -6,3 +6,16 @@ from fav_tpu.ops.signal import (  # noqa: F401
     analyze_frame_jax,
     init_analyzer_carry,
 )
+from fav_tpu.ops.corruptions import (  # noqa: F401
+    CORRUPTION_NAMES,
+    SEVERITIES,
+    apply_corruption,
+    corruption_fn,
+)
+from fav_tpu.ops.corruptions_pallas import (  # noqa: F401
+    corrupt_normalize_pallas,
+    fast_corruption_fn,
+    gaussian_noise_pallas,
+    impulse_noise_pallas,
+)
+from fav_tpu.ops.signal_pallas import analyze_frames_pallas, frame_stats_pallas  # noqa: F401
