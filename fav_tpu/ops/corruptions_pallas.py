@@ -23,21 +23,25 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "gaussian_noise_pallas",
     "impulse_noise_pallas",
+    "shot_noise_pallas",
     "corrupt_normalize_pallas",
     "fast_corruption_fn",
     "GAUSSIAN_SIGMA",
     "IMPULSE_AMOUNT",
+    "SHOT_C",
 ]
 
 # severity tables — MUST match fav_tpu.ops.corruptions (the oracle)
 GAUSSIAN_SIGMA = (0.08, 0.12, 0.18, 0.26, 0.38)
 IMPULSE_AMOUNT = (0.03, 0.06, 0.09, 0.17, 0.27)
+SHOT_C = (60.0, 25.0, 12.0, 5.0, 3.0)
 
 _BLOCK = 128  # images per grid step: 128*32*32*3*4B = 1.5 MB in VMEM
 # (in+out double-buffered plus PRNG intermediates lands ~6 buffers of block
@@ -77,6 +81,28 @@ def _impulse_kernel(seed_ref, x_ref, out_ref, *, amount):
     x = x_ref[:]
     u = _uniform01(x.shape)
     out_ref[:] = jnp.where(u < amount / 2, 1.0, jnp.where(u > 1.0 - amount / 2, 0.0, x))
+
+
+def _shot_kernel(seed_ref, x_ref, out_ref, *, c, k_max):
+    """Poisson sampling by inverse CDF in log space: count how many CDF
+    partial sums the uniform draw exceeds. log pmf recurrences
+    (log p_{k+1} = log p_k + ln(lambda) - ln(k+1)) stay finite where the
+    naive pmf recurrence underflows to an absorbing 0 for lambda ~ 60.
+    k_max is static per severity (~lambda + 10*sqrt(lambda))."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:]
+    lam = x * c
+    u = _uniform01(x.shape)
+    log_lam = jnp.log(jnp.maximum(lam, 1e-30))  # lam=0 handled by k=0 term
+    log_term = -lam  # log pmf(0)
+    cdf = jnp.exp(log_term)
+    count = jnp.zeros_like(x)
+    for k in range(1, k_max):
+        count = count + (u > cdf).astype(jnp.float32)
+        log_term = log_term + log_lam - float(np.log(k))
+        cdf = cdf + jnp.exp(log_term)
+    count = count + (u > cdf).astype(jnp.float32)
+    out_ref[:] = jnp.clip(count / c, 0.0, 1.0)
 
 
 def _corrupt_normalize_kernel(seed_ref, x_ref, out_ref, *, sigma, bright, contrast, mean, scale):
@@ -142,6 +168,18 @@ def impulse_noise_pallas(seed, x, severity: int = 3, interpret: bool = False):
     return _grid_call(k, x, seed, interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
+def shot_noise_pallas(seed, x, severity: int = 3, interpret: bool = False):
+    """Hardware-PRNG Poisson shot noise (oracle: corruptions.shot_noise;
+    equality is distributional — same mean/variance law, different stream)."""
+    import math
+
+    c = SHOT_C[severity - 1]
+    k_max = int(c + 10.0 * math.sqrt(c)) + 8
+    k = functools.partial(_shot_kernel, c=c, k_max=k_max)
+    return _grid_call(k, x, seed, interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("sigma", "bright", "contrast", "mean", "scale", "interpret")
 )
@@ -185,4 +223,6 @@ def fast_corruption_fn(name: str):
         return lambda key, x, severity: gaussian_noise_pallas(_key_to_seed(key), x, severity)
     if name == "impulse_noise":
         return lambda key, x, severity: impulse_noise_pallas(_key_to_seed(key), x, severity)
+    if name == "shot_noise":
+        return lambda key, x, severity: shot_noise_pallas(_key_to_seed(key), x, severity)
     return _jnp_fn(name)

