@@ -239,7 +239,15 @@ def contrast(key, x, severity: int):
 
 
 def elastic_transform(key, x, severity: int):
-    """Smooth random displacement field + bilinear warp."""
+    """Smooth random displacement field + bilinear warp.
+
+    Stays on the gather path: a gather-free tent-filter formulation
+    (sum over (2m+2)^2 integer offsets of tent(d-o)*shift(x,o), exactly
+    equal to clamp+bilinear) was measured SLOWER here — the fractional
+    weights defeat the mask-select trick that pays off for glass_blur's
+    integer displacements, and its 100-window graph crashed the TPU
+    compiler at batch 2048.
+    """
     alpha, sigma = _sev(
         [(1.5, 6.0), (2.5, 5.0), (3.5, 4.5), (4.5, 4.0), (6.0, 3.5)], severity
     )
