@@ -30,6 +30,10 @@ def main(argv=None) -> dict:
                         help="comma-separated CNN stage widths (default: config)")
     parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet"),
                         help="classifier family (fav_tpu/models/cnn.py)")
+    parser.add_argument("--ensemble", type=int, default=0,
+                        help="evaluate an N-member ensemble checkpoint "
+                             "(checkpoints/ensemble unless --checkpoint): "
+                             "member-logit-averaged forward in every cell")
     args = parser.parse_args(argv)
 
     import jax
@@ -59,16 +63,27 @@ def main(argv=None) -> dict:
         mp = ModelParams(arch=args.arch, widths=widths, dense_width=widths[-1])
     model = create_model(mp)
     sample = jnp.zeros((1,) + ds.test_images.shape[1:], jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), sample)
+    if args.ensemble:
+        from fav_tpu.models.uncertainty import init_ensemble
+
+        params = init_ensemble(model, jax.random.PRNGKey(0), sample, args.ensemble)
+        # logit-averaged ensemble rides the same sweep unchanged
+        apply_fn = lambda p, x: jnp.mean(  # noqa: E731
+            jax.vmap(lambda q: model.apply(q, x))(p), axis=0
+        )
+    else:
+        params = model.init(jax.random.PRNGKey(0), sample)
+        apply_fn = model.apply
     temperature = 1.0
     source = "random_init"
 
-    ckpt = args.checkpoint or os.path.join(DEFAULT_CKPT_DIR, "classifier")
+    default_name = "ensemble" if args.ensemble else "classifier"
+    ckpt = args.checkpoint or os.path.join(DEFAULT_CKPT_DIR, default_name)
     if os.path.isdir(ckpt):
         params, meta = restore_checkpoint(ckpt, params)
         temperature = float(meta.get("temperature", 1.0))
         source = f"checkpoint:{ckpt}"
-    elif args.train_steps > 0:
+    elif args.train_steps > 0 and not args.ensemble:
         params, _ = train_classifier(model, ds, num_steps=args.train_steps)
         source = f"trained:{args.train_steps}steps"
 
@@ -80,10 +95,10 @@ def main(argv=None) -> dict:
     key = jax.random.PRNGKey(42)
     if jax.device_count() > 1 and n % jax.device_count() == 0:
         mesh = build_mesh((jax.device_count(), 1, 1))
-        grid = sharded_sweep(mesh, model.apply, params, images, labels, key,
+        grid = sharded_sweep(mesh, apply_fn, params, images, labels, key,
                              corruptions=names, temperature=temperature)
     else:
-        grid = corruption_sweep(model.apply, params, images, labels, key,
+        grid = corruption_sweep(apply_fn, params, images, labels, key,
                                 corruptions=names, temperature=temperature)
 
     # aggregate: mean over severities per corruption + overall. AUROC is only

@@ -245,3 +245,21 @@ def test_autoencoder_serving_mode(tmp_path):
     assert service.source.startswith("checkpoint:")
     assert r_clean["prediction"] == -1  # AE mode has no classifier
     assert r_noisy["model_anomaly"] > r_clean["model_anomaly"]
+
+
+def test_evaluate_cli_ensemble_smoke(tmp_path):
+    """Ensemble grid evaluation: train a tiny 2-member ensemble, checkpoint,
+    evaluate with member-logit averaging."""
+    from fav_tpu.models import evaluate, pretrain
+
+    ckpt = str(tmp_path / "ens")
+    pretrain.main(
+        ["--steps", "20", "--batch", "64", "--ensemble", "2", "--widths", "8,16",
+         "--out", ckpt, "--log-every", "0"]
+    )
+    result = evaluate.main(
+        ["--num-images", "64", "--corruptions", "brightness", "--widths", "8,16",
+         "--ensemble", "2", "--checkpoint", ckpt]
+    )
+    assert result["summary"]["model"].startswith("checkpoint:")
+    assert "brightness" in result["per_corruption"]
