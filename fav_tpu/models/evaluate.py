@@ -34,6 +34,9 @@ def main(argv=None) -> dict:
                         help="evaluate an N-member ensemble checkpoint "
                              "(checkpoints/ensemble unless --checkpoint): "
                              "member-logit-averaged forward in every cell")
+    parser.add_argument("--mc-dropout", type=int, default=0,
+                        help="evaluate the single-model checkpoint with N "
+                             "MC-dropout replicas (logit-averaged)")
     args = parser.parse_args(argv)
 
     import jax
@@ -71,6 +74,15 @@ def main(argv=None) -> dict:
         apply_fn = lambda p, x: jnp.mean(  # noqa: E731
             jax.vmap(lambda q: model.apply(q, x))(p), axis=0
         )
+    elif args.mc_dropout:
+        params = model.init(jax.random.PRNGKey(0), sample)
+        mc_keys = jax.random.split(jax.random.PRNGKey(7), args.mc_dropout)
+
+        def apply_fn(p, x):
+            def one(k):
+                return model.apply(p, x, train=True, rngs={"dropout": k})
+
+            return jnp.mean(jax.vmap(one)(mc_keys), axis=0)
     else:
         params = model.init(jax.random.PRNGKey(0), sample)
         apply_fn = model.apply
