@@ -263,3 +263,14 @@ def test_evaluate_cli_ensemble_smoke(tmp_path):
     )
     assert result["summary"]["model"].startswith("checkpoint:")
     assert "brightness" in result["per_corruption"]
+
+
+def test_evaluate_cli_mc_dropout_smoke(tmp_path):
+    from fav_tpu.models import evaluate
+
+    result = evaluate.main(
+        ["--num-images", "64", "--corruptions", "brightness", "--widths", "8,16",
+         "--mc-dropout", "3", "--checkpoint", str(tmp_path / "none")]
+    )
+    assert result["summary"]["model"] == "random_init"
+    assert "brightness" in result["per_corruption"]
