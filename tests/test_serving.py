@@ -53,6 +53,12 @@ def app_server(tmp_path, unused_tcp_port_factory=None):
                 await asyncio.sleep(0.05)
             server.close()
             await server.wait_closed()
+            # cancel lingering service workers (inference/analysis) so the
+            # loop closes without pending-task warnings
+            for task in asyncio.all_tasks():
+                if task is not asyncio.current_task():
+                    task.cancel()
+            await asyncio.sleep(0)
 
         loop.run_until_complete(serve())
 
@@ -246,3 +252,69 @@ def test_playground_matches_host_engine():
 
 def test_playground_empty_events():
     assert run_playground_sequence([]) == []
+
+
+def test_ws_webcam_fallback(app_server):
+    """No camera in this environment: set_source_mode webcam must emit the
+    error and fall back to simulation (reference main.py:230-236)."""
+
+    async def fn(ws):
+        await ws.send(json.dumps({"action": "set_source_mode", "mode": "webcam"}))
+        err = None
+        for _ in range(40):
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 10))
+            if msg.get("type") == "error":
+                err = msg
+                continue
+            if err and msg.get("source_mode") == "simulation":
+                return err, msg
+        return err, None
+
+    err, state = asyncio.run(_ws_session(f"ws://{app_server}/ws", fn))
+    assert err is not None and "webcam" in err["message"].lower()
+    assert state is not None  # stream continues in simulation mode
+
+
+def test_ws_live_video_end_to_end(app_server, tmp_path):
+    """Deepest integration: upload a real video over HTTP, switch the WS
+    source to it, and watch analyzed live state (signal metrics, streamed
+    JPEG frames, BLANK detection on the dark segment) come back."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (320, 240))
+    assert writer.isOpened()
+    rng = np.random.default_rng(0)
+    base = rng.integers(60, 200, (240, 320, 3)).astype(np.uint8)
+    for phase, n in (("normal", 20), ("black", 20), ("normal", 10)):
+        for i in range(n):
+            frame = np.zeros((240, 320, 3), np.uint8) if phase == "black" else np.roll(base, i * 5, axis=1)
+            writer.write(frame)
+    writer.release()
+
+    body, ctype = _multipart("clip.avi", open(path, "rb").read())
+    req = urllib.request.Request(
+        f"http://{app_server}/api/upload-video", data=body, headers={"Content-Type": ctype}
+    )
+    with urllib.request.urlopen(req, timeout=5) as r:
+        up = json.loads(r.read())
+
+    async def fn(ws):
+        await ws.send(json.dumps({"action": "set_source_mode", "mode": "video",
+                                  "filepath": up["filepath"]}))
+        saw_frame = saw_metrics = saw_blank = False
+        for _ in range(400):
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 15))
+            if msg.get("type") == "error":
+                raise AssertionError(msg)
+            if msg.get("type"):
+                continue
+            saw_frame = saw_frame or "video_frame" in msg
+            saw_metrics = saw_metrics or "signal_metrics" in msg
+            saw_blank = saw_blank or msg.get("vision_status") == "VISION_BLANK"
+            if saw_frame and saw_metrics and saw_blank:
+                return True
+        return (saw_frame, saw_metrics, saw_blank)
+
+    assert asyncio.run(_ws_session(f"ws://{app_server}/ws", fn)) is True
