@@ -195,15 +195,24 @@ async def _stream_loop(ws: WebSocket, conn: ConnectionState) -> None:
         now = time.monotonic()
         dt = now - conn.last_time  # wall-clock dt (main.py:130-132)
         conn.last_time = now
-        with conn.timer.stage("tick") if conn.timer else contextlib.nullcontext():
-            if conn.source_mode == "simulation":
-                state = await _tick_sim(conn, dt)
-            else:
-                state = await _tick_live(conn, dt)
+        try:
+            with conn.timer.stage("tick") if conn.timer else contextlib.nullcontext():
+                if conn.source_mode == "simulation":
+                    state = await _tick_sim(conn, dt)
+                else:
+                    state = await _tick_live(conn, dt)
+                state["source_mode"] = conn.source_mode
+                conn.attributor.update(state, state["timestamp"])
+                state["failure_events"] = conn.attributor.get_summary()
+                conn.logger.log(state, state.get("anomaly_score", 0.0))
+        except (WebSocketClosed, asyncio.CancelledError):
+            raise
+        except Exception as e:
+            # a transient tick failure (analysis/inference hiccup) must not
+            # silently kill this connection's heartbeat
+            state = conn.engine.get_state()
             state["source_mode"] = conn.source_mode
-            conn.attributor.update(state, state["timestamp"])
-            state["failure_events"] = conn.attributor.get_summary()
-            conn.logger.log(state, state.get("anomaly_score", 0.0))
+            state["tick_error"] = f"{type(e).__name__}: {e}"
         await ws.send_json(state)
         await asyncio.sleep(1.0 / conn.tick_rate)
 
