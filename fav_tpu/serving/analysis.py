@@ -64,6 +64,7 @@ class AnalysisService:
         self._queue: asyncio.Queue = asyncio.Queue()
         self._worker: Optional[asyncio.Task] = None
         self._started = False
+        self.ready = False  # True once all shape buckets are compiled
 
     def new_carry(self):
         """Fresh per-stream temporal state (prev frame + frozen counter)."""
@@ -71,15 +72,27 @@ class AnalysisService:
 
         return init_analyzer_carry(self.height, self.width)
 
-    async def analyze(self, frame_bgr: np.ndarray, carry) -> tuple:
-        """Submit one HxWx3 uint8 BGR frame + its stream carry; returns
-        (new_carry, analysis_dict)."""
+    def _ensure_worker(self) -> None:
         if not self._started:
             self._started = True
             self._worker = asyncio.get_running_loop().create_task(self._run())
+
+    async def analyze(self, frame_bgr: np.ndarray, carry) -> tuple:
+        """Submit one HxWx3 uint8 BGR frame + its stream carry; returns
+        (new_carry, analysis_dict)."""
+        self._ensure_worker()
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self._queue.put((frame_bgr, carry, fut))
         return await fut
+
+    async def maybe_analyze(self, frame_bgr: np.ndarray, carry) -> Optional[tuple]:
+        """Non-blocking variant for the streaming tick: returns None while the
+        analyzer is still compiling (minutes on a cold TPU) so the heartbeat
+        keeps flowing; kicks warmup on first call."""
+        self._ensure_worker()
+        if not self.ready:
+            return None
+        return await self.analyze(frame_bgr, carry)
 
     async def close(self) -> None:
         if self._worker is not None:
@@ -92,6 +105,24 @@ class AnalysisService:
             self._started = False
 
     async def _run(self) -> None:
+        # warm every shape bucket before declaring ready — otherwise the
+        # first time a bigger bucket is hit, all live ticks stall behind its
+        # compile (cold TPU compiles take minutes; the persistent cache makes
+        # restarts instant)
+        try:
+            warm_frame = np.zeros((self.height, self.width, 3), np.uint8)
+            for bucket in BUCKETS:
+                carries = [self.new_carry() for _ in range(bucket)]
+                await asyncio.to_thread(
+                    self._analyze_batch, [warm_frame] * bucket, carries
+                )
+            self.ready = True
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            # leave ready=False: maybe_analyze keeps returning None and the
+            # direct per-connection analyzer path still exists
         while True:
             item = await self._queue.get()
             batch = [item]

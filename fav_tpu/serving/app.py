@@ -146,12 +146,25 @@ async def _tick_live(conn: ConnectionState, dt: float) -> dict:
                 conn.analysis.height, conn.analysis.width
             ):
                 # micro-batched across connections: one device call serves
-                # every live stream's frame
+                # every live stream's frame. While the analyzer compiles
+                # (minutes on a cold TPU) keep the heartbeat: stream engine
+                # state + the raw frame, analysis attaches once warm.
                 if conn.analysis_carry is None:
                     conn.analysis_carry = conn.analysis.new_carry()
-                conn.analysis_carry, conn.last_analysis = await conn.analysis.analyze(
-                    frame, conn.analysis_carry
-                )
+                result = await conn.analysis.maybe_analyze(frame, conn.analysis_carry)
+                if result is None:
+                    state = conn.engine.get_state()
+                    state["analysis_warming"] = True
+                    state["dt"] = round(dt, 4)
+                    state["frame_id"] = frame_id
+                    encoded = await asyncio.to_thread(
+                        frame_to_base64_jpeg, frame, conn.config.video.jpeg_quality
+                    )
+                    if encoded:
+                        state["video_frame"] = encoded
+                    conn.last_frame_id = frame_id
+                    return state
+                conn.analysis_carry, conn.last_analysis = result
             else:
                 conn.last_analysis = await asyncio.to_thread(
                     conn.analyzer.analyze_frame, frame
