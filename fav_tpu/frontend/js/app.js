@@ -65,6 +65,12 @@
       img.src = "data:image/jpeg;base64," + msg.video_frame;
       img.style.display = "block";
     }
+    if (msg.analysis_warming) {
+      $("m-status").textContent = "warming up…";
+    }
+    if (msg.tick_error) {
+      showError("tick error: " + msg.tick_error);
+    }
     if (msg.signal_metrics) {
       $("sig-panel").style.display = "block";
       $("sig-blur").textContent = fmt(msg.signal_metrics.blur, 3);
