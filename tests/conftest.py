@@ -24,5 +24,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Trust math parity requires float64 on the JAX host path.
 jax.config.update("jax_enable_x64", True)
+# Compiles dominate suite runtime (training smokes build many small
+# programs); the persistent cache cuts re-runs dramatically.
+_CACHE = os.path.join(REPO_ROOT, ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"
