@@ -282,8 +282,10 @@ class HttpServer:
 
     async def _read_request(self, reader: asyncio.StreamReader) -> Request | None:
         try:
-            raw = await reader.readuntil(b"\r\n\r\n")
-        except (asyncio.IncompleteReadError, asyncio.LimitOverrunError):
+            # idle/slow-header timeout: a client trickling bytes must not pin
+            # a connection slot forever (keep-alive reuse within 60 s is fine)
+            raw = await asyncio.wait_for(reader.readuntil(b"\r\n\r\n"), timeout=60.0)
+        except (asyncio.IncompleteReadError, asyncio.LimitOverrunError, asyncio.TimeoutError):
             return None
         if len(raw) > _MAX_HEADER:
             return None
