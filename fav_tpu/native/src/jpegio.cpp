@@ -46,14 +46,19 @@ int fav_jpeg_encode_bgr(const uint8_t* bgr, int width, int height, int stride,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  *out = nullptr;  // initialized before setjmp so the handler can free safely
+  *out_size = 0;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_compress(&cinfo);
+    // jpeg_mem_dest's buffer is malloc'd by libjpeg; callers ignore *out on
+    // error, so it must be released here or the 30 Hz hot path leaks.
+    std::free(*out);
+    *out = nullptr;
+    *out_size = 0;
     return -2;
   }
   jpeg_create_compress(&cinfo);
 
-  *out = nullptr;
-  *out_size = 0;
   jpeg_mem_dest(&cinfo, out, out_size);
 
   cinfo.image_width = width;

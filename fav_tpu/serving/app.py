@@ -100,6 +100,7 @@ class ConnectionState:
         self.analysis_carry = None
         self.last_frame_id = 0
         self.last_analysis = {}
+        self.last_inference = {}  # stale ML scores must not outlive a reset
 
 
 async def _tick_sim(conn: ConnectionState, dt: float) -> dict:
@@ -268,6 +269,7 @@ async def _handle_control(ws: WebSocket, conn: ConnectionState, msg: dict) -> No
         conn.engine.reset()
         conn.attributor.reset()
         conn.last_frame_id = 0
+        conn.last_inference = {}  # don't carry ML scores across sources
         await ws.send_json({"type": "mode_changed", "mode": mode})
 
     elif action == "set_vision" and conn.source_mode == "simulation":
@@ -463,7 +465,17 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
                     msg = json.loads(text)
                 except ValueError:
                     continue  # a garbage control frame must not kill the stream
-                await _handle_control(ws, conn, msg)
+                try:
+                    await _handle_control(ws, conn, msg)
+                except (WebSocketClosed, asyncio.CancelledError):
+                    raise
+                except Exception as e:
+                    # malformed control values (e.g. {"action":"set_tick_rate",
+                    # "rate":"fast"}) must not tear down the stream — the
+                    # reference blankets its control loop (main.py:210-304)
+                    await ws.send_json(
+                        {"type": "error", "message": f"bad control message: {e}"}
+                    )
         except WebSocketClosed:
             pass
         finally:  # cleanup (main.py:306-317)

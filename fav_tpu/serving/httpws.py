@@ -306,11 +306,22 @@ class HttpServer:
                 k, _, v = pair.partition("=")
                 query[k] = v
         body = b""
-        length = int(headers.get("content-length", 0))
+        try:
+            length = int(headers.get("content-length", 0))
+        except ValueError:
+            return None
         if length:
             if length > _MAX_BODY:
                 return None
-            body = await reader.readexactly(length)
+            try:
+                # Slowloris guard, body edition: proportional to size so a
+                # legitimate large upload on a slow link still fits (≥1 MB/s
+                # plus 30 s grace), but a trickled body can't pin a slot.
+                body = await asyncio.wait_for(
+                    reader.readexactly(length), timeout=30.0 + length / 1e6
+                )
+            except (asyncio.IncompleteReadError, asyncio.TimeoutError):
+                return None
         return Request(method.upper(), path, query, headers, body)
 
     async def _dispatch(self, request: Request) -> Response:

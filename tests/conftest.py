@@ -32,3 +32,13 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: anything not marked `slow` is `fast`, so both
+    `pytest -m fast` (quick per-commit gate) and `pytest -m "not slow"` work."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

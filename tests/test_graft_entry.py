@@ -28,3 +28,29 @@ def test_dryrun_multichip_rejects_too_many():
 
     with pytest.raises(RuntimeError):
         ge.dryrun_multichip(jax.device_count() + 1)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_cold_subprocess():
+    """Reproduce the driver's cold invocation: a fresh interpreter with NO
+    JAX env vars (conftest must not mask the entry point's own platform
+    forcing — round-1's MULTICHIP artifact went red exactly this way)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"

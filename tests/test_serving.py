@@ -192,6 +192,36 @@ def test_ws_get_log_and_reset(app_server):
     assert "events_csv" in log
 
 
+def test_ws_malformed_control_values_survive(app_server):
+    """Non-numeric control values must produce an error reply, not tear the
+    stream down (the reference blankets its control loop, main.py:210-304;
+    round-1 ADVICE reproduced a ValueError killing the connection)."""
+
+    async def fn(ws):
+        await ws.send(json.dumps({"action": "set_tick_rate", "rate": "fast"}))
+        await ws.send(json.dumps({"action": "set_noise", "level": "loud"}))
+        await ws.send(json.dumps({"action": "set_brightness", "level": None}))
+        errors, states = 0, 0
+        for _ in range(20):
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+            if msg.get("type") == "error":
+                errors += 1
+            elif "reliability" in msg:
+                states += 1
+        # stream still alive and controllable afterwards
+        await ws.send(json.dumps({"action": "set_vision", "mode": "blank"}))
+        for _ in range(10):
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+            if msg.get("vision_status") == "VISION_BLANK":
+                return errors, states, True
+        return errors, states, False
+
+    errors, states, controllable = asyncio.run(_ws_session(f"ws://{app_server}/ws", fn))
+    assert errors >= 3, f"expected error replies, got {errors}"
+    assert states > 0
+    assert controllable
+
+
 def test_ws_bad_source_mode_error(app_server):
     async def fn(ws):
         await ws.send(json.dumps({"action": "set_source_mode", "mode": "video", "filepath": "/nope.mp4"}))
