@@ -189,6 +189,11 @@ def main(argv=None) -> dict:
         "data_source": ds.source,
         "train_steps": args.steps,
         "ensemble_size": args.ensemble or None,
+        # serving rebuilds the exact architecture from these — a template
+        # mismatch must be impossible, not silently tolerated
+        "arch": mp.arch,
+        "widths": list(mp.widths),
+        "dense_width": mp.dense_width,
     }
     print(json.dumps(metrics, indent=2))
 

@@ -64,6 +64,8 @@ class InferenceService:
         self._params = None
         self._temperature = 1.0
         self._meta: dict = {}
+        self.restore_error: str | None = None
+        self._call_count = 0  # decorrelates MC-dropout masks across calls
 
     # ── lazy device setup (first use; jax import stays off server boot) ──
     def _ensure_model(self) -> None:
@@ -96,9 +98,26 @@ class InferenceService:
                 model = create_autoencoder(self.cfg)
             params = model.init(jax.random.PRNGKey(0), sample)
         else:
-            model = create_model(self.cfg)
+            # the checkpoint's architecture/ensemble-size wins over config
+            # defaults: restoring 3 committed members into a 5-member template
+            # must be impossible, not a silent fall-through to random weights
+            pre_meta = self._peek_metadata()
+            cfg = self.cfg
+            overrides = {
+                k: pre_meta[k]
+                for k in ("arch", "dense_width")
+                if pre_meta.get(k) is not None
+            }
+            if pre_meta.get("widths"):
+                overrides["widths"] = tuple(pre_meta["widths"])
+            if overrides:
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, **overrides)
+            model = create_model(cfg)
             if self.uncertainty == "ensemble":
-                params = init_ensemble(model, jax.random.PRNGKey(0), sample, self.cfg.ensemble_size)
+                ensemble_size = int(pre_meta.get("ensemble_size") or cfg.ensemble_size)
+                params = init_ensemble(model, jax.random.PRNGKey(0), sample, ensemble_size)
             else:
                 params = model.init(jax.random.PRNGKey(0), sample)
         self.source = "random_init"
@@ -119,8 +138,21 @@ class InferenceService:
                 self._meta = meta
                 self._temperature = float(meta.get("temperature", 1.0))
                 self.source = f"checkpoint:{ckpt_dir}"
-            except Exception:
-                pass
+            except Exception as e:
+                # a checkpoint exists but can't be restored — serving silently
+                # degraded weights is the one unacceptable outcome (mirrors
+                # the reference's fake-vs-real-ML explicitness,
+                # anomaly_simulator.py:7-9)
+                import sys
+                import traceback
+
+                self.restore_error = f"{type(e).__name__}: {e}"
+                print(
+                    f"[fav_tpu] WARNING: checkpoint at {ckpt_dir} failed to "
+                    f"restore ({self.restore_error}); serving RANDOM weights",
+                    file=sys.stderr,
+                )
+                traceback.print_exc()
 
         if self.uncertainty == "autoencoder":
             # normalize reconstruction MSE by the training-set baseline from
@@ -129,7 +161,7 @@ class InferenceService:
             baseline = float(getattr(self, "_meta", {}).get("err_baseline", 0.002)) or 0.002
 
             @jax.jit
-            def ae_forward(params, images):
+            def ae_forward(params, images, key):  # key unused: AE is deterministic
                 recon = model.apply(params, images)
                 err = jnp.mean((recon - images.astype(recon.dtype)) ** 2, axis=(-3, -2, -1))
                 anomaly = jnp.clip((err - baseline) / (9.0 * baseline), 0.0, 1.0)
@@ -162,12 +194,14 @@ class InferenceService:
             }
 
         @jax.jit
-        def forward(params, images):
+        def forward(params, images, key):
             if mode == "msp":
                 logits = model.apply(params, images)
                 return summarize(jax.nn.softmax(logits / temperature, -1)[None])
             if mode == "mc_dropout":
-                keys = jax.random.split(jax.random.PRNGKey(7), mc_samples)
+                # per-call key: replicas must not reuse identical dropout
+                # masks across frames, or the epistemic spread is a constant
+                keys = jax.random.split(key, mc_samples)
 
                 def one(k):
                     logits = model.apply(params, images, train=True, rngs={"dropout": k})
@@ -206,11 +240,14 @@ class InferenceService:
         return {}
 
     def info(self) -> dict:
-        return {
+        info = {
             "source": self.source,
             "temperature": self._temperature,
             "uncertainty": self.uncertainty,
         }
+        if self.restore_error:
+            info["error"] = f"checkpoint restore failed: {self.restore_error}"
+        return info
 
     # ── public API ──
     def _ensure_worker(self) -> None:
@@ -284,6 +321,7 @@ class InferenceService:
                     f.set_result(res)
 
     def _infer(self, frames: list[np.ndarray]) -> list[dict]:
+        import jax
         import jax.numpy as jnp
 
         n = len(frames)
@@ -291,7 +329,9 @@ class InferenceService:
         stack = np.zeros((bucket,) + frames[0].shape, np.float32)
         for i, f in enumerate(frames[:bucket]):
             stack[i] = f
-        out = self._forward(self._params, jnp.asarray(stack))
+        self._call_count += 1
+        key = jax.random.fold_in(jax.random.PRNGKey(7), self._call_count)
+        out = self._forward(self._params, jnp.asarray(stack), key)
         pred = np.asarray(out["prediction"])
         conf = np.asarray(out["confidence"])
         anom = np.asarray(out["anomaly"])

@@ -59,10 +59,11 @@ def test_checkpoint_roundtrip(tmp_path):
 SMALL = ModelParams(widths=(8, 16), dense_width=16)
 
 
-def test_inference_service_single_and_batch():
+def test_inference_service_single_and_batch(tmp_path):
     from fav_tpu.serving.inference import InferenceService
 
-    service = InferenceService(SMALL)
+    # explicit empty checkpoint dir: tests must not pick up repo checkpoints
+    service = InferenceService(SMALL, checkpoint_dir=str(tmp_path / "none"))
 
     async def run():
         frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
@@ -85,11 +86,11 @@ def test_inference_service_single_and_batch():
 
 
 @pytest.mark.parametrize("mode", ["mc_dropout", "ensemble"])
-def test_inference_service_uncertainty_modes(mode):
+def test_inference_service_uncertainty_modes(mode, tmp_path):
     from fav_tpu.serving.inference import InferenceService
 
     cfg = ModelParams(widths=(8, 16), dense_width=16, mc_samples=3, ensemble_size=2)
-    service = InferenceService(cfg, uncertainty=mode)
+    service = InferenceService(cfg, uncertainty=mode, checkpoint_dir=str(tmp_path / "none"))
 
     async def run():
         frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
@@ -110,12 +111,12 @@ def test_inference_service_rejects_bad_mode():
         InferenceService(SMALL, uncertainty="voodoo")
 
 
-def test_inference_service_batch_matches_single():
+def test_inference_service_batch_matches_single(tmp_path):
     """Micro-batched result must equal the result of a solo submission
     (padding to the bucket must not leak into real rows)."""
     from fav_tpu.serving.inference import InferenceService
 
-    service = InferenceService(SMALL)
+    service = InferenceService(SMALL, checkpoint_dir=str(tmp_path / "none"))
     frame = np.random.default_rng(1).uniform(0, 1, (32, 32, 3)).astype(np.float32)
 
     async def run():
@@ -146,6 +147,7 @@ def test_frame_for_model():
     assert out2[0, 0, 0] == pytest.approx(0.0)
 
 
+@pytest.mark.slow
 def test_pretrain_cli_smoke(tmp_path):
     """End-to-end: train tiny, calibrate, checkpoint, reload via the
     InferenceService checkpoint path."""
@@ -170,6 +172,7 @@ def test_pretrain_cli_smoke(tmp_path):
     assert 0.0 <= res["confidence"] <= 1.0
 
 
+@pytest.mark.slow
 def test_evaluate_cli_smoke(tmp_path):
     """Sweep-eval CLI on a 2-corruption subset with a tiny fresh model."""
     import json
@@ -188,6 +191,7 @@ def test_evaluate_cli_smoke(tmp_path):
         assert json.load(f)["summary"]["model"] == "random_init"
 
 
+@pytest.mark.slow
 def test_pretrain_ensemble_smoke(tmp_path):
     """Ensemble pretrain -> stacked checkpoint -> ensemble-mode serving."""
     from fav_tpu.models import pretrain
@@ -214,6 +218,7 @@ def test_pretrain_ensemble_smoke(tmp_path):
     assert "mutual_information" in res
 
 
+@pytest.mark.slow
 def test_autoencoder_serving_mode(tmp_path):
     """AE pretrain -> checkpoint with err_baseline -> anomaly rises on noise
     (the reference's reconstruction-error-as-anomaly design)."""
@@ -247,6 +252,86 @@ def test_autoencoder_serving_mode(tmp_path):
     assert r_noisy["model_anomaly"] > r_clean["model_anomaly"]
 
 
+@pytest.mark.slow
+def test_ensemble_checkpoint_wins_over_config_default(tmp_path):
+    """Serving `uncertainty="ensemble"` with config defaults (5 members,
+    (64,128,256) widths) against a 2-member (8,16) checkpoint must rebuild
+    the template from checkpoint metadata and serve the TRAINED weights —
+    round 1 silently fell back to random init on this exact mismatch."""
+    from fav_tpu.models import pretrain
+    from fav_tpu.serving.inference import InferenceService
+
+    out = str(tmp_path / "ens")
+    pretrain.main(
+        ["--steps", "20", "--batch", "64", "--ensemble", "2", "--widths", "8,16",
+         "--out", out, "--log-every", "0"]
+    )
+    # deliberately wrong defaults: the checkpoint metadata must override them
+    service = InferenceService(ModelParams(), checkpoint_dir=out, uncertainty="ensemble")
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:"), service.info()
+    assert service.restore_error is None
+    assert "mutual_information" in res
+
+
+def test_checkpoint_restore_failure_is_loud(tmp_path, capsys):
+    """A checkpoint dir that exists but cannot restore must not silently
+    serve random weights: restore_error set, info() carries an error field."""
+    from fav_tpu.serving.inference import InferenceService
+
+    bad = tmp_path / "broken"
+    bad.mkdir()
+    (bad / "metadata.json").write_text('{"widths": [8, 16], "dense_width": 16}')
+    (bad / "params.npz").write_text("this is not an npz archive")
+    service = InferenceService(
+        ModelParams(widths=(8, 16), dense_width=16), checkpoint_dir=str(bad)
+    )
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    asyncio.run(run())
+    assert service.source == "random_init"
+    assert service.restore_error is not None
+    assert "error" in service.info()
+    assert "RANDOM weights" in capsys.readouterr().err
+
+
+def test_mc_dropout_keys_vary_across_calls():
+    """MC-dropout replicas must draw fresh masks per call (round-1 weak #3:
+    a constant PRNGKey made every frame's replicas identical)."""
+    from fav_tpu.serving.inference import InferenceService
+
+    cfg = ModelParams(widths=(8, 16), dense_width=16, mc_samples=4, dropout_rate=0.5)
+    service = InferenceService(
+        cfg, uncertainty="mc_dropout", checkpoint_dir="/nonexistent-ckpt"
+    )
+    frame = np.random.default_rng(3).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+
+    async def run():
+        a = await service.score_frame(frame)
+        b = await service.score_frame(frame)
+        await service.close()
+        return a, b
+
+    a, b = asyncio.run(run())
+    # same frame, different call -> different dropout masks -> different MI
+    assert (a["mutual_information"], a["confidence"]) != (
+        b["mutual_information"], b["confidence"]
+    )
+
+
+@pytest.mark.slow
 def test_evaluate_cli_ensemble_smoke(tmp_path):
     """Ensemble grid evaluation: train a tiny 2-member ensemble, checkpoint,
     evaluate with member-logit averaging."""
@@ -265,6 +350,7 @@ def test_evaluate_cli_ensemble_smoke(tmp_path):
     assert "brightness" in result["per_corruption"]
 
 
+@pytest.mark.slow
 def test_evaluate_cli_mc_dropout_smoke(tmp_path):
     from fav_tpu.models import evaluate
 
