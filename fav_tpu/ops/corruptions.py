@@ -36,6 +36,7 @@ from fav_tpu.ops.image import (
     depthwise_conv2d,
     disk_kernel,
     gaussian_blur,
+    gaussian_blur_matmul,
     motion_kernel,
     resize_bilinear,
     rgb_to_gray,
@@ -238,27 +239,77 @@ def contrast(key, x, severity: int):
     return _clip((x - mean) * c + mean)
 
 
-def elastic_transform(key, x, severity: int):
-    """Smooth random displacement field + bilinear warp.
+_ELASTIC_SEV = [(1.5, 6.0), (2.5, 5.0), (3.5, 4.5), (4.5, 4.0), (6.0, 3.5)]
 
-    Stays on the gather path: a gather-free tent-filter formulation
-    (sum over (2m+2)^2 integer offsets of tent(d-o)*shift(x,o), exactly
-    equal to clamp+bilinear) was measured SLOWER here — the fractional
-    weights defeat the mask-select trick that pays off for glass_blur's
-    integer displacements, and its 100-window graph crashed the TPU
-    compiler at batch 2048.
-    """
-    alpha, sigma = _sev(
-        [(1.5, 6.0), (2.5, 5.0), (3.5, 4.5), (4.5, 4.0), (6.0, 3.5)], severity
-    )
+
+def _elastic_fields(key, x, severity: int):
+    """Clamped absolute sample coordinates (ys, xs) for the elastic warp."""
+    alpha, sigma = _sev(_ELASTIC_SEV, severity)
     b, h, w, _ = x.shape
     k1, k2 = jax.random.split(key)
-    dy = gaussian_blur(jax.random.uniform(k1, (b, h, w, 1), x.dtype, -1.0, 1.0), sigma) * alpha
-    dx = gaussian_blur(jax.random.uniform(k2, (b, h, w, 1), x.dtype, -1.0, 1.0), sigma) * alpha
+    # banded-matmul blur: the 1-channel field degenerates a depthwise conv
+    # to VPU scalar work (40+ ms at sigma 6); the MXU form is ~free
+    dy = gaussian_blur_matmul(jax.random.uniform(k1, (b, h, w, 1), x.dtype, -1.0, 1.0), sigma) * alpha
+    dx = gaussian_blur_matmul(jax.random.uniform(k2, (b, h, w, 1), x.dtype, -1.0, 1.0), sigma) * alpha
     yy, xx = jnp.mgrid[0:h, 0:w]
-    ys = yy[None].astype(x.dtype) + dy[..., 0]
-    xs = xx[None].astype(x.dtype) + dx[..., 0]
+    ys = jnp.clip(yy[None].astype(x.dtype) + dy[..., 0], 0.0, h - 1.0)
+    xs = jnp.clip(xx[None].astype(x.dtype) + dx[..., 0], 0.0, w - 1.0)
+    return ys, xs
+
+
+def _elastic_transform_gather(key, x, severity: int):
+    """Reference formulation (gather-based bilinear warp) — kept as the
+    equivalence-test oracle for the shift-window version below."""
+    ys, xs = _elastic_fields(key, x, severity)
     return jax.vmap(bilinear_sample)(x, ys, xs)
+
+
+def elastic_transform(key, x, severity: int):
+    """Smooth random displacement field + bilinear warp, gather-free.
+
+    TPU gathers serialize (the round-1 gather path ran ~76 ms at batch
+    2048 — 20x the other cells). Because the blurred displacement is bounded
+    by alpha, clamp+bilinear is EXACTLY a tent-weighted sum over the
+    (2m+2)^2 integer shifts of the edge-padded image:
+
+        out[i,j] = sum_o tent(ys-i-oy) * tent(xs-j-ox) * pad[i+oy, j+ox]
+
+    (for out-of-range coords every tent neighbor clamps to the same edge
+    pixel and the weights sum to 1, reproducing the clamped sample). A
+    ``lax.scan`` over the offset list keeps the compiled graph ~3 ops per
+    offset — round 1's fully-unrolled 100-window attempt crashed the
+    compiler at batch 2048; the scan form compiles in seconds and runs
+    bandwidth-bound.
+    """
+    alpha, _ = _sev(_ELASTIC_SEV, severity)
+    b, h, w, c = x.shape
+    ys, xs = _elastic_fields(key, x, severity)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    dy = ys - yy[None].astype(x.dtype)  # bounded by alpha
+    dx = xs - xx[None].astype(x.dtype)
+
+    m = int(np.ceil(alpha))
+    p = m + 1  # tent support offsets live in [-m, m+1]
+    pad = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+    offs = np.arange(-m, m + 2)
+
+    # scan over y-offsets (compact graph, compiler-safe at any batch) with
+    # the x-offsets unrolled inside: the accumulator is read/written once
+    # per Y offset instead of once per (oy, ox) pair — ~5x less HBM traffic
+    def step(acc, oy):
+        zero = jnp.int32(0)
+        rows = jax.lax.dynamic_slice(
+            pad, (zero, jnp.int32(p) + oy, zero, zero), (b, h, w + 2 * p, c)
+        )
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - oy.astype(x.dtype)))
+        total = jnp.zeros_like(x)
+        for ox in offs:  # static column slices of the row band
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - float(ox)))
+            total = total + wx[..., None] * rows[:, :, p + ox : p + ox + w, :]
+        return acc + wy[..., None] * total, None
+
+    out, _ = jax.lax.scan(step, jnp.zeros_like(x), jnp.asarray(offs, jnp.int32))
+    return out
 
 
 def pixelate(key, x, severity: int):

@@ -98,6 +98,32 @@ def motion_kernel(length: int, angle_deg: float, sigma: float) -> np.ndarray:
     return k.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _blur_band_matrix(size: int, sigma: float, radius: int) -> np.ndarray:
+    """Dense banded matrix M with M[v, w] = weight of source column w in
+    blurred output v, under the same reflect padding + VALID correlation as
+    :func:`depthwise_conv2d`. Lets a 1-D Gaussian blur run as a matmul."""
+    k = gaussian_kernel1d(sigma, radius).astype(np.float64)
+    eye = np.pad(np.eye(size), ((radius, radius), (0, 0)), mode="reflect")
+    cols = [np.convolve(eye[:, w], k, mode="valid") for w in range(size)]
+    return np.stack(cols, axis=1).astype(np.float32)
+
+
+def gaussian_blur_matmul(x: jax.Array, sigma: float, radius: int | None = None) -> jax.Array:
+    """Separable Gaussian blur of [B, H, W, C] as two banded matmuls.
+
+    Equivalent to :func:`gaussian_blur` but runs on the MXU — decisive for
+    few-channel inputs (e.g. the 1-channel elastic displacement fields),
+    where a depthwise conv degenerates to scalar VPU work. Only worthwhile
+    for small static H/W (the dense band matrix is H×H / W×W)."""
+    if radius is None:
+        radius = max(1, int(3.0 * sigma + 0.5))
+    _, h, w, _ = x.shape
+    my = jnp.asarray(_blur_band_matrix(h, float(sigma), radius), x.dtype)
+    mx = jnp.asarray(_blur_band_matrix(w, float(sigma), radius), x.dtype)
+    return jnp.einsum("vh,bhwc,uw->bvuc", my, x, mx)
+
+
 def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
     return jax.image.resize(x, x.shape[:-3] + (height, width, x.shape[-1]), method="bilinear")
 

@@ -68,6 +68,18 @@ def test_different_keys_differ(name):
     assert not np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("severity", [1, 3, 5])
+def test_elastic_shift_window_equals_gather(severity):
+    """The gather-free tent-filter warp must equal the bilinear-gather oracle
+    (same displacement fields, same clamping) to float tolerance."""
+    from fav_tpu.ops.corruptions import _elastic_transform_gather, elastic_transform
+
+    key = jax.random.PRNGKey(7)
+    want = np.asarray(_elastic_transform_gather(key, BATCH, severity))
+    got = np.asarray(elastic_transform(key, BATCH, severity))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_jpeg_blocking_artifact_structure():
     """JPEG round-trip must preserve rough content but quantize detail."""
     out = np.asarray(apply_corruption("jpeg_compression", KEY, BATCH, 5))
