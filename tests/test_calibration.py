@@ -118,6 +118,7 @@ def test_brier_and_failure_labels():
     np.testing.assert_array_equal(np.asarray(failure_labels(preds, labels)), [0, 1])
 
 
+@pytest.mark.slow
 def test_failure_detection_pipeline_auroc():
     """Uncertainty must rank failures above successes on a trained model —
     the reference's core claim (failure = high-confidence wrong prediction,

@@ -6,6 +6,7 @@ import jax
 import pytest
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as ge
 
@@ -17,6 +18,7 @@ def test_entry_compiles():
     assert float(out["anomaly"].min()) >= 0.0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_eight():
     import __graft_entry__ as ge
 

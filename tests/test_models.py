@@ -53,6 +53,7 @@ def test_cnn_forward_shape_and_dtype(small_model, small_params):
     assert logits.dtype == jnp.float32  # head forced to f32 for calibration math
 
 
+@pytest.mark.slow
 def test_cnn_dropout_purity(small_model, small_params):
     """Same key -> same output; different keys -> different outputs (train mode)."""
     x = jnp.ones((2, 32, 32, 3)) * 0.5
@@ -93,6 +94,7 @@ def test_mutual_information_disagreement():
     assert float(mutual_information(disagree)[0]) > float(mutual_information(agree)[0]) + 0.1
 
 
+@pytest.mark.slow
 def test_mc_dropout_predict(small_model, small_params):
     x = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 3))
     out = mc_dropout_predict(
@@ -106,6 +108,7 @@ def test_mc_dropout_predict(small_model, small_params):
     assert bool(jnp.all(out["mutual_information"] >= -1e-6))
 
 
+@pytest.mark.slow
 def test_ensemble_init_and_predict(small_model):
     stacked = init_ensemble(small_model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), 3)
     leaf = jax.tree_util.tree_leaves(stacked)[0]
@@ -127,6 +130,7 @@ def test_anomaly_from_confidence_monotone():
     assert bool(jnp.all((a >= 0) & (a <= 1)))
 
 
+@pytest.mark.slow
 def test_synthetic_dataset_deterministic():
     d1 = synthetic_cifar10(train_size=64, test_size=16, seed=7)
     d2 = synthetic_cifar10(train_size=64, test_size=16, seed=7)
@@ -147,6 +151,7 @@ def test_batch_iterator_epochs():
     assert len(set(seen.tolist())) == 8
 
 
+@pytest.mark.slow
 def test_classifier_learns_synthetic(small_model):
     """End-to-end learning smoke: accuracy must clear chance by a wide margin
     within 120 steps on the synthetic set."""
@@ -160,6 +165,7 @@ def test_classifier_learns_synthetic(small_model):
     assert float(out["accuracy"]) > 0.5  # chance = 0.1
 
 
+@pytest.mark.slow
 def test_autoencoder_trains_and_flags_noise():
     ae = ConvAutoencoder(widths=(8, 16), latent=16)
     ds = synthetic_cifar10(train_size=512, test_size=64, seed=2)
@@ -209,6 +215,7 @@ def test_ensemble_train_step(small_model):
     assert not np.allclose(np.asarray(leaf[0]), np.asarray(leaf[1]))
 
 
+@pytest.mark.slow
 def test_resnet_family_full_surface():
     """The second model family must ride every harness unchanged: forward,
     dropout-rng purity, MC-dropout, ensembles, one train step."""

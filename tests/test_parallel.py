@@ -73,6 +73,7 @@ def test_sharded_forward_matches_single(model_and_params):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ensemble_member_per_device(model_and_params):
     model, _ = model_and_params
     mesh = build_mesh((2, 4, 1))
