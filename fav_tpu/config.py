@@ -188,7 +188,9 @@ class ServerParams:
     model_scoring: bool = True
     use_model_anomaly: bool = False
     inference_max_wait_ms: float = 4.0
-    # 'msp' | 'mc_dropout' | 'ensemble' (fav_tpu/serving/inference.py)
+    # 'msp' | 'mc_dropout' | 'ensemble' | 'autoencoder'
+    # (fav_tpu/serving/inference.py; 'autoencoder' serves the reference's
+    # canonical reconstruction-error design from the shipped AE checkpoint)
     uncertainty: str = "msp"
     # micro-batch frame analysis across connections (one device call for N
     # live streams instead of N calls; fav_tpu/serving/analysis.py)

@@ -51,6 +51,7 @@ __all__ = [
     "init_analyzer_carry",
     "bgr_to_gray_cv2",
     "laplacian_variance",
+    "histogram_256",
     "histogram_entropy",
 ]
 
@@ -117,21 +118,28 @@ def laplacian_variance(gray: jax.Array, dtype=jnp.float32) -> jax.Array:
     return jnp.mean((lap - mean) ** 2, axis=(-2, -1))
 
 
-def histogram_entropy(gray: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """256-bin histogram entropy in bits, matching the reference normalization
-    ``h / (h.sum() + 1e-10)`` (signal_analyzer.py:101-105).
+def histogram_256(gray: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Exact 256-bin histogram of int pixel values in [0, 255], [..., 256].
 
-    Implemented as a one-hot matmul-free scatter-add per batch element. The
-    Pallas variant performs this in VMEM in the same pass as the other stats.
+    Nibble decomposition turns the scatter into MXU work: with Hi/Lo the
+    one-hot matrices of each pixel's high/low 4 bits,
+    ``hist[hi, lo] = sum_p Hi[p, hi] * Lo[p, lo]`` — one [P,16]x[P,16]
+    contraction instead of 256 compare-reduce passes or a serialized
+    scatter-add. Counts are exact: the one-hot entries are 0/1 (exactly
+    representable) and the MXU accumulates in float32 (exact to 2^24).
     """
     flat = gray.reshape(gray.shape[:-2] + (-1,))
+    nibbles = jnp.arange(16, dtype=flat.dtype)
+    hi = ((flat >> 4)[..., None] == nibbles).astype(dtype)  # [..., P, 16]
+    lo = ((flat & 15)[..., None] == nibbles).astype(dtype)
+    hist = jnp.einsum("...ph,...pl->...hl", hi, lo)
+    return hist.reshape(hist.shape[:-2] + (256,))  # bin v = hi*16 + lo
 
-    def hist_one(v):
-        return jnp.zeros((256,), dtype).at[v].add(1.0)
 
-    for _ in range(flat.ndim - 1):
-        hist_one = jax.vmap(hist_one)
-    hist = hist_one(flat)
+def histogram_entropy(gray: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """256-bin histogram entropy in bits, matching the reference normalization
+    ``h / (h.sum() + 1e-10)`` (signal_analyzer.py:101-105)."""
+    hist = histogram_256(gray, dtype)
     p = hist / (jnp.sum(hist, axis=-1, keepdims=True) + 1e-10)
     plogp = jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0)
     return -jnp.sum(plogp, axis=-1)

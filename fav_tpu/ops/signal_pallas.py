@@ -10,19 +10,21 @@ single load:
 * Laplacian variance (4-neighbor stencil, REFLECT_101 borders built with
   shifted concatenations — no conv primitive needed),
 * mean brightness,
-* mean |frame − prev| (freeze signal),
-* 256-bin histogram entropy, computed WITHOUT scatter: bins are counted by
-  equality-compare + full-frame reduction inside a ``fori_loop`` (XLA's
-  scatter-add path on TPU serializes; compare-reduce stays on the VPU).
+* mean |frame − prev| (freeze signal).
+
+The 256-bin histogram entropy lives OUTSIDE the kernel as a nibble one-hot
+matmul (:func:`fav_tpu.ops.signal.histogram_256`): round 1 computed it
+in-kernel as a 256-iteration compare-reduce ``fori_loop`` that dominated the
+whole analyzer (45-66 ms for 64 frames of 240x320 — ~1000 fps, ~30 analyzed
+streams/chip). Every in-kernel MXU histogram variant crashed or timed out
+the Mosaic compiler on this toolchain (3D broadcast-compare hits a layout
+check; the 2D chunked form 500s in tpu_compile_helper), while the XLA
+einsum form compiles instantly and runs the 16x16 contraction on the MXU.
+The extra HBM pass re-reads gray (~20 MB at 64 frames, ~25 us) — noise next
+to the 40+ ms it removes. Measured after the split: see BENCH.md.
 
 The raw statistics feed the same score/status derivation as the jnp
 reference (:mod:`fav_tpu.ops.signal`), which is the equivalence-test oracle.
-
-Measured on v5e (64 frames of 240x320): 45-66 ms vs 58 ms for the jnp path —
-~1000 fps either way; the entropy bin sweep dominates both. The win here is
-the single fused HBM pass and the scatter-free histogram, not a large
-wall-clock delta; live streaming needs 30 fps/stream, so one chip sustains
-~30 concurrent analyzed streams.
 """
 
 from __future__ import annotations
@@ -35,7 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fav_tpu.config import AnalyzerParams
-from fav_tpu.ops.signal import AnalyzerCarry, FrameMetrics, bgr_to_gray_cv2, init_analyzer_carry
+from fav_tpu.ops.signal import (
+    AnalyzerCarry,
+    FrameMetrics,
+    bgr_to_gray_cv2,
+    histogram_entropy,
+    init_analyzer_carry,
+)
 
 __all__ = ["frame_stats_pallas", "analyze_frames_pallas"]
 
@@ -65,34 +73,13 @@ def _frame_stats_kernel(gray_ref, prev_ref, has_prev_ref, out_ref):
     # lives in SMEM; index by grid position)
     mean_diff = jnp.where(has_prev_ref[pl.program_id(0)] > 0, diff, 10.0)
 
-    # ── 256-bin histogram entropy without scatter, on the MXU ──
-    # nibble decomposition: hist[hi, lo] = sum_px Hi[px, hi] * Lo[px, lo]
-    # where Hi/Lo are one-hot in the value's high/low 4 bits. That turns 256
-    # full-frame compare+reduce passes into 32 compares + ONE 16x(HW)x16
-    # matmul — the histogram becomes MXU work.
-    # (A nibble-decomposed MXU formulation — hist[hi,lo] as a one-hot
-    # (16,px)@(px,16) matmul — is ~100x less arithmetic, but every variant
-    # crashes the Mosaic compiler on this toolchain: 3D broadcast-compare
-    # hits a layout check, and the 2D chunked form 500s in tpu_compile_helper.
-    # The compare-reduce sweep below is the proven form; it already beats the
-    # XLA scatter path and streams the frame from VMEM.)
-    gi = gray_ref[0]  # int32 (H, W)
-
-    def bin_body(b, acc):
-        count = jnp.sum((gi == b).astype(jnp.float32))
-        prob = count / (n + 1e-10)
-        return acc - jnp.where(prob > 0, prob * jnp.log2(jnp.where(prob > 0, prob, 1.0)), 0.0)
-
-    entropy = jax.lax.fori_loop(0, 256, bin_body, jnp.float32(0.0))
-
-    # whole (B, 4) output stays resident in SMEM across the sequential grid
-    # (scalar stores are SMEM-only; a (1, 4) VMEM block would violate the
+    # whole (B, 3) output stays resident in SMEM across the sequential grid
+    # (scalar stores are SMEM-only; a (1, 3) VMEM block would violate the
     # (8, 128) minimum tile rule)
     i = pl.program_id(0)
     out_ref[i, 0] = lap_var
     out_ref[i, 1] = mean_b
     out_ref[i, 2] = mean_diff
-    out_ref[i, 3] = entropy
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -102,8 +89,9 @@ def frame_stats_pallas(
     has_prev: jax.Array,  # int32 [B] (0/1)
     interpret: bool = False,
 ) -> jax.Array:
-    """Raw per-frame stats [B, 4]: (laplacian_var, mean_brightness,
-    mean_diff, entropy) — one fused VMEM pass per frame."""
+    """Raw per-frame stats [B, 3]: (laplacian_var, mean_brightness,
+    mean_diff) — one fused VMEM pass per frame. Entropy is computed by the
+    caller via the MXU histogram (see module docstring)."""
     b, h, w = gray.shape
     return pl.pallas_call(
         _frame_stats_kernel,
@@ -114,7 +102,7 @@ def frame_stats_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # has_prev: full (B,) array
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 3), jnp.float32),
         interpret=interpret,
     )(gray, prev_gray, has_prev.astype(jnp.int32))
 
@@ -135,7 +123,7 @@ def analyze_frames_pallas(
     lap_var = stats[:, 0]
     mean_brightness = stats[:, 1]
     mean_diff = stats[:, 2]
-    entropy = stats[:, 3]
+    entropy = histogram_entropy(gray)  # nibble one-hot matmul on the MXU
 
     clip = lambda x: jnp.clip(x, 0.0, 1.0)  # noqa: E731
     blur_score = clip(1.0 - lap_var / p.blur_baseline)

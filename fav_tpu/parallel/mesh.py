@@ -29,13 +29,17 @@ from fav_tpu.config import MeshParams
 
 __all__ = [
     "build_mesh",
+    "build_multislice_mesh",
     "data_sharding",
+    "hierarchical_data_sharding",
     "ensemble_sharding",
     "replicate",
     "auto_mesh_shape",
 ]
 
 AXES = ("data", "ensemble", "model")
+DCN_AXIS = "dcn"  # outermost multi-slice axis; collectives crossing it ride
+#                   the data-center network, everything else stays on ICI
 
 
 def auto_mesh_shape(n_devices: int, ensemble_size: int = 1) -> tuple[int, int, int]:
@@ -62,9 +66,44 @@ def build_mesh(
     return Mesh(arr, (p.data_axis, p.ensemble_axis, p.model_axis))
 
 
+def build_multislice_mesh(
+    n_slices: int,
+    per_slice_shape: Sequence[int] | None = None,
+    devices: Sequence[jax.Device] | None = None,
+    params: MeshParams | None = None,
+) -> Mesh:
+    """4-axis mesh ``(dcn, data, ensemble, model)`` for multi-slice sweeps
+    (SURVEY.md §2.5/§5.8: "DCN only if multi-slice sweeps are ever needed").
+
+    The outermost ``dcn`` axis maps to slice boundaries — pass ``devices``
+    grouped by slice (on real multi-slice hardware: ``jax.devices()`` sorted
+    by ``d.slice_index``). The corruption grid shards its batch
+    hierarchically over ``("dcn", "data")`` so per-image work never crosses
+    slices; only the O(1) scalar metric psums ride the DCN, which is the
+    right traffic shape for a bandwidth-tiered interconnect.
+    """
+    p = params or MeshParams()
+    devs = list(devices) if devices is not None else jax.devices()
+    if len(devs) % n_slices:
+        raise ValueError(f"{len(devs)} devices do not split into {n_slices} slices")
+    per = len(devs) // n_slices
+    if per_slice_shape is None:
+        per_slice_shape = (per, 1, 1)
+    if int(np.prod(per_slice_shape)) != per:
+        raise ValueError(f"per-slice shape {tuple(per_slice_shape)} != {per} devices/slice")
+    arr = np.asarray(devs).reshape((n_slices, *per_slice_shape))
+    return Mesh(arr, (DCN_AXIS, p.data_axis, p.ensemble_axis, p.model_axis))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Batch axis over the data dimension; everything else replicated."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def hierarchical_data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Batch over (dcn, data) jointly — per-slice data parallelism with the
+    slice axis outermost (multi-slice meshes only)."""
+    return NamedSharding(mesh, P((DCN_AXIS, "data"), *([None] * (ndim - 1))))
 
 
 def ensemble_sharding(mesh: Mesh) -> NamedSharding:

@@ -102,9 +102,18 @@ def sharded_sweep(
 ) -> dict[str, dict[int, dict[str, float]]]:
     """Same grid with images/labels sharded over the mesh's data axis and
     params replicated. The per-cell jitted program is unchanged — XLA inserts
-    the ICI collectives for the scalar reductions (SURVEY.md §5.8)."""
-    img_sh = NamedSharding(mesh, P("data", None, None, None))
-    lbl_sh = NamedSharding(mesh, P("data"))
+    the ICI collectives for the scalar reductions (SURVEY.md §5.8).
+
+    On a multi-slice mesh (built by :func:`fav_tpu.parallel.mesh.
+    build_multislice_mesh`, axes ``(dcn, data, ensemble, model)``) the batch
+    shards hierarchically over ``("dcn", "data")``: per-image work stays on
+    ICI inside each slice; only the scalar metric psums cross the DCN."""
+    if "dcn" in mesh.axis_names:
+        batch_axes: tuple | str = ("dcn", "data")
+    else:
+        batch_axes = "data"
+    img_sh = NamedSharding(mesh, P(batch_axes, None, None, None))
+    lbl_sh = NamedSharding(mesh, P(batch_axes))
     rep = NamedSharding(mesh, P())
     images = jax.device_put(images, img_sh)
     labels = jax.device_put(labels, lbl_sh)

@@ -105,6 +105,42 @@ def test_sharded_sweep_matches_unsharded(model_and_params):
                 assert ref[n][s][metric] == pytest.approx(got[n][s][metric], abs=3e-5), (n, s, metric)
 
 
+def test_multislice_dcn_sweep_matches_unsharded(model_and_params):
+    """Multi-slice scale-out (SURVEY.md §2.5/§5.8 stretch): a 2-slice x
+    (2,2,1) virtual topology with the explicit dcn axis must reproduce the
+    single-device grid exactly — per-image work stays intra-slice, only the
+    scalar metric psums cross the dcn axis."""
+    from fav_tpu.parallel.mesh import build_multislice_mesh, hierarchical_data_sharding
+
+    model, params = model_and_params
+    mesh = build_multislice_mesh(n_slices=2, per_slice_shape=(2, 2, 1))
+    assert mesh.shape == {"dcn": 2, "data": 2, "ensemble": 2, "model": 1}
+
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=2)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    # the hierarchical sharding splits the batch 4-ways: 2 slices x 2 data
+    sharded_x = jax.device_put(x, hierarchical_data_sharding(mesh))
+    assert len(sharded_x.addressable_shards) == 8
+    assert sharded_x.addressable_shards[0].data.shape[0] == x.shape[0] // 4
+
+    names, sevs = ("gaussian_noise", "contrast"), (2,)
+    key = jax.random.PRNGKey(11)
+    ref = corruption_sweep(model.apply, params, x, y, key, names, sevs)
+    got = sharded_sweep(mesh, model.apply, params, x, y, key, names, sevs)
+    for n in names:
+        for metric in ("accuracy", "mean_confidence", "auroc"):
+            assert ref[n][2][metric] == pytest.approx(got[n][2][metric], abs=3e-5), (n, metric)
+
+
+def test_multislice_mesh_validation():
+    from fav_tpu.parallel.mesh import build_multislice_mesh
+
+    with pytest.raises(ValueError):
+        build_multislice_mesh(n_slices=3)  # 8 devices don't split into 3
+    with pytest.raises(ValueError):
+        build_multislice_mesh(n_slices=2, per_slice_shape=(3, 1, 1))
+
+
 def test_sweep_degrades_with_severity(model_and_params):
     """Confidence/anomaly monotonicity sanity: severity 5 gaussian noise must
     lower confidence vs severity 1 on a trained-ish model (here: random

@@ -305,6 +305,129 @@ def test_ws_webcam_fallback(app_server):
     assert state is not None  # stream continues in simulation mode
 
 
+@pytest.fixture()
+def ae_app_server(tmp_path):
+    """App in uncertainty='autoencoder' mode with model anomaly feeding the
+    trust engine, backed by the shipped AE checkpoint."""
+    import os
+    import socket
+    import threading
+
+    from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
+
+    if not os.path.isdir(os.path.join(DEFAULT_CKPT_DIR, "autoencoder")):
+        pytest.skip("no committed autoencoder checkpoint")
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    frontend = tmp_path / "frontend"
+    frontend.mkdir()
+    (frontend / "index.html").write_text("<html></html>")
+    cfg = FrameworkConfig(
+        server=ServerParams(
+            host="127.0.0.1", port=port, upload_dir=str(tmp_path / "uploads"),
+            uncertainty="autoencoder", use_model_anomaly=True,
+        )
+    )
+    loop = asyncio.new_event_loop()
+    started, stop = threading.Event(), threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def serve():
+            app = create_app(cfg, frontend_dir=str(frontend))
+            server = await app.serve("127.0.0.1", port)
+            started.set()
+            while not stop.is_set():
+                await asyncio.sleep(0.05)
+            server.close()
+            await server.wait_closed()
+            for task in asyncio.all_tasks():
+                if task is not asyncio.current_task():
+                    task.cancel()
+            await asyncio.sleep(0)
+
+        loop.run_until_complete(serve())
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    assert started.wait(timeout=10)
+    yield f"127.0.0.1:{port}"
+    stop.set()
+    thread.join(timeout=5)
+    loop.close()
+
+
+@pytest.mark.slow
+def test_ws_autoencoder_live_end_to_end(ae_app_server, tmp_path):
+    """The reference's canonical ML design LIVE: reconstruction-error anomaly
+    from the trained AE checkpoint drives serving (docs/system_notes.md:146-170).
+
+    Stream a normal->black clip in AE mode and assert (a) the service scores
+    frames from the TRAINED checkpoint (not random init), (b) rules dominate —
+    BLANK status collapses reliability regardless of the AE (invariant 1,
+    platform/README.md:58-64). NOTE the deviation from the reference's
+    documented blind spot (their AE reconstructs dark frames easily,
+    anomaly_simulator.py:65-70): OUR AE, trained on the synthetic set, flags
+    black frames at ~7x its error baseline — measured, not assumed; the
+    blind-spot parity home is the anomaly simulator (test_models.py)."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (320, 240))
+    assert writer.isOpened()
+    rng = np.random.default_rng(1)
+    base = rng.integers(60, 200, (240, 320, 3)).astype(np.uint8)
+    for phase, n in (("normal", 25), ("black", 25)):
+        for i in range(n):
+            frame = np.zeros((240, 320, 3), np.uint8) if phase == "black" else np.roll(base, i * 5, axis=1)
+            writer.write(frame)
+    writer.release()
+
+    body, ctype = _multipart("clip.avi", open(path, "rb").read())
+    req = urllib.request.Request(
+        f"http://{ae_app_server}/api/upload-video", data=body, headers={"Content-Type": ctype}
+    )
+    with urllib.request.urlopen(req, timeout=5) as r:
+        up = json.loads(r.read())
+
+    async def fn(ws):
+        await ws.send(json.dumps({"action": "set_source_mode", "mode": "video",
+                                  "filepath": up["filepath"]}))
+        saw_ml = saw_blank = False
+        low_rel = 1.0
+        # generous budget: the first-ever run compiles the AE (~40 s on CPU)
+        # while warming heartbeats keep streaming and count against the loop
+        for _ in range(2000):
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 20))
+            if msg.get("type") == "error":
+                raise AssertionError(msg)
+            if msg.get("type"):
+                continue
+            ml = msg.get("ml_inference")
+            if ml is not None:
+                assert ml["prediction"] == -1  # AE mode has no classifier head
+                saw_ml = True
+            if msg.get("vision_status") == "VISION_BLANK":
+                saw_blank = True
+                low_rel = min(low_rel, msg["reliability"])
+            if saw_ml and saw_blank and low_rel < 0.5:
+                return True
+        return (saw_ml, saw_blank, low_rel)
+
+    assert asyncio.run(_ws_session(f"ws://{ae_app_server}/ws", fn)) is True
+
+    # the scorer must be the trained checkpoint, loudly not random init
+    with urllib.request.urlopen(f"http://{ae_app_server}/api/metrics", timeout=5) as r:
+        info = json.loads(r.read())["inference"]
+    assert info["uncertainty"] == "autoencoder"
+    assert info["source"].startswith("checkpoint:"), info
+
+
 def test_ws_live_video_end_to_end(app_server, tmp_path):
     """Deepest integration: upload a real video over HTTP, switch the WS
     source to it, and watch analyzed live state (signal metrics, streamed
