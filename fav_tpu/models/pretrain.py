@@ -19,7 +19,13 @@ import os
 
 def _train_ensemble(model, ds, args):
     """Train N independent members in one vmapped program (the ensemble
-    train step; members differ by init and dropout keys)."""
+    train step; members differ by init and dropout keys).
+
+    With ``--shard`` and a multi-device host, members shard over the mesh's
+    ensemble axis (member-per-device when sizes divide — the same layout
+    ``__graft_entry__.dryrun_multichip`` validates) and the batch over the
+    data axis; XLA emits the ICI collectives. The jitted step is unchanged.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -34,16 +40,38 @@ def _train_ensemble(model, ds, args):
     states = TrainState(
         stacked, jax.vmap(tx.init)(stacked), jnp.zeros((args.ensemble,), jnp.int32)
     )
+
+    place_batch = jnp.asarray
+    if getattr(args, "shard", False) and jax.device_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fav_tpu.parallel.mesh import auto_mesh_shape, build_mesh
+
+        mesh = build_mesh(auto_mesh_shape(jax.device_count(), args.ensemble))
+        print(f"sharded ensemble training over mesh {dict(mesh.shape)}")
+
+        def ens_spec(leaf):
+            return NamedSharding(mesh, P("ensemble", *([None] * (leaf.ndim - 1))))
+
+        states = jax.tree.map(lambda leaf: jax.device_put(leaf, ens_spec(leaf)), states)
+        data_sh = NamedSharding(mesh, P("data", *([None] * 3)))
+        lbl_sh = NamedSharding(mesh, P("data"))
+
+        def place_batch(a):  # noqa: F811 — sharded variant
+            a = jnp.asarray(a)
+            return jax.device_put(a, data_sh if a.ndim == 4 else lbl_sh)
+
     step = make_ensemble_train_step(model.apply, tx)
     it = batch_iterator(ds.train_images, ds.train_labels, args.batch, seed=args.seed)
     key = jax.random.PRNGKey(args.seed + 1)
     for i in range(args.steps):
         x, y = next(it)
         key, sub = jax.random.split(key)
-        states, metrics = step(states, jnp.asarray(x), jnp.asarray(y), sub)
+        states, metrics = step(states, place_batch(x), place_batch(y), sub)
         if args.log_every and (i + 1) % args.log_every == 0:
             print(f"step {i+1}: member losses {[round(float(l),4) for l in metrics['loss']]}")
-    return states.params
+    # gather to the default device so checkpointing sees addressable leaves
+    return jax.tree.map(lambda leaf: jax.device_get(leaf), states.params)
 
 
 def _pretrain_autoencoder(args) -> dict:
@@ -100,6 +128,9 @@ def main(argv=None) -> dict:
     parser.add_argument("--ensemble", type=int, default=0,
                         help="train an N-member deep ensemble (stacked params "
                              "checkpoint for uncertainty='ensemble' serving)")
+    parser.add_argument("--shard", action="store_true",
+                        help="shard ensemble training over all visible devices "
+                             "(members on the mesh ensemble axis, batch on data)")
     parser.add_argument("--widths", type=str, default="",
                         help="comma-separated CNN stage widths (default: config)")
     parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet"),

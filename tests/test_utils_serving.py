@@ -192,6 +192,35 @@ def test_evaluate_cli_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_pretrain_ensemble_sharded_smoke(tmp_path):
+    """--shard trains member-per-device over the 8-device virtual mesh
+    (2 data x 4 ensemble) and the checkpoint round-trips into serving."""
+    from fav_tpu.models import pretrain
+    from fav_tpu.serving.inference import InferenceService
+
+    out = str(tmp_path / "ens_sharded")
+    metrics = pretrain.main(
+        ["--steps", "20", "--batch", "64", "--ensemble", "4", "--widths", "8,16",
+         "--shard", "--out", out, "--log-every", "0"]
+    )
+    assert metrics["ensemble_size"] == 4
+    service = InferenceService(
+        ModelParams(widths=(8, 16), dense_width=16, ensemble_size=4),
+        checkpoint_dir=out, uncertainty="ensemble",
+    )
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:")
+    assert "mutual_information" in res
+
+
+@pytest.mark.slow
 def test_pretrain_ensemble_smoke(tmp_path):
     """Ensemble pretrain -> stacked checkpoint -> ensemble-mode serving."""
     from fav_tpu.models import pretrain
