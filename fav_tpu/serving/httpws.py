@@ -32,6 +32,10 @@ __all__ = ["Request", "Response", "WebSocket", "HttpServer", "WebSocketClosed"]
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 _MAX_HEADER = 64 * 1024
 _MAX_BODY = 200 * 1024 * 1024  # uploads are videos (main.py:77-94)
+# Slowloris guards: fixed budget for headers; body budget grows with declared
+# size (>=1 MB/s effective floor) so big uploads on slow links still fit.
+_HEADER_TIMEOUT = 60.0
+_BODY_TIMEOUT_BASE = 30.0
 
 
 class WebSocketClosed(Exception):
@@ -284,7 +288,7 @@ class HttpServer:
         try:
             # idle/slow-header timeout: a client trickling bytes must not pin
             # a connection slot forever (keep-alive reuse within 60 s is fine)
-            raw = await asyncio.wait_for(reader.readuntil(b"\r\n\r\n"), timeout=60.0)
+            raw = await asyncio.wait_for(reader.readuntil(b"\r\n\r\n"), timeout=_HEADER_TIMEOUT)
         except (asyncio.IncompleteReadError, asyncio.LimitOverrunError, asyncio.TimeoutError):
             return None
         if len(raw) > _MAX_HEADER:
@@ -314,11 +318,10 @@ class HttpServer:
             if length > _MAX_BODY:
                 return None
             try:
-                # Slowloris guard, body edition: proportional to size so a
-                # legitimate large upload on a slow link still fits (≥1 MB/s
-                # plus 30 s grace), but a trickled body can't pin a slot.
+                # Slowloris guard, body edition: a trickled body can't pin a
+                # connection slot (see _BODY_TIMEOUT_BASE above).
                 body = await asyncio.wait_for(
-                    reader.readexactly(length), timeout=30.0 + length / 1e6
+                    reader.readexactly(length), timeout=_BODY_TIMEOUT_BASE + length / 1e6
                 )
             except (asyncio.IncompleteReadError, asyncio.TimeoutError):
                 return None

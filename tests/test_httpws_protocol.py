@@ -197,3 +197,33 @@ def test_http_keepalive_two_requests(echo_server):
             body += s.recv(4096)
         assert json.loads(body) == {"hi": True}
     s.close()
+
+
+def test_slow_body_times_out(echo_server, monkeypatch):
+    """A client that declares a Content-Length but trickles the body must be
+    disconnected once the body budget expires (Slowloris guard, body edition;
+    round-1 ADVICE: only the header read was guarded)."""
+    import time
+
+    from fav_tpu.serving import httpws
+
+    monkeypatch.setattr(httpws, "_BODY_TIMEOUT_BASE", 0.3)
+    s = socket.create_connection(("127.0.0.1", echo_server), timeout=5)
+    s.sendall(
+        b"POST /hello HTTP/1.1\r\nHost: x\r\nContent-Length: 1000\r\n\r\npartial"
+    )
+    t0 = time.time()
+    s.settimeout(5)
+    # server must close the connection without us ever finishing the body
+    buf = s.recv(4096)
+    assert buf == b"", f"expected disconnect, got {buf[:80]!r}"
+    assert time.time() - t0 < 4.0
+    s.close()
+
+
+def test_bad_content_length_rejected(echo_server):
+    s = socket.create_connection(("127.0.0.1", echo_server), timeout=5)
+    s.sendall(b"POST /hello HTTP/1.1\r\nHost: x\r\nContent-Length: banana\r\n\r\n")
+    s.settimeout(5)
+    assert s.recv(4096) == b""  # malformed framing -> connection dropped
+    s.close()
