@@ -107,6 +107,7 @@ def frame_stats_pallas(
     )(gray, prev_gray, has_prev.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def analyze_frames_pallas(
     params: AnalyzerParams,
     carry: AnalyzerCarry,
@@ -114,7 +115,12 @@ def analyze_frames_pallas(
     interpret: bool = False,
 ) -> tuple[AnalyzerCarry, FrameMetrics]:
     """Drop-in batched analyzer using the fused kernel for the heavy stats;
-    score fusion / status derivation matches :func:`analyze_frame_jax`."""
+    score fusion / status derivation matches :func:`analyze_frame_jax`.
+
+    Jitted as ONE program: gray conversion, the Pallas stats kernel, the MXU
+    histogram and the score/status derivation dispatch together — on the
+    tunneled backend each separate dispatch costs ~10 ms, which round 2
+    measured dominating the un-jitted composite (64 ms vs ~2 ms fused)."""
     p = params
     gray = bgr_to_gray_cv2(frames_bgr)
     stats = frame_stats_pallas(
