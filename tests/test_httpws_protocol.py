@@ -227,3 +227,52 @@ def test_bad_content_length_rejected(echo_server):
     s.settimeout(5)
     assert s.recv(4096) == b""  # malformed framing -> connection dropped
     s.close()
+
+
+def test_fuzz_garbage_bytes_leave_server_alive(echo_server):
+    """Random garbage, truncated requests and malformed upgrade headers must
+    never take the listener down — every probe is followed by a clean
+    request that must still succeed."""
+    import random
+
+    rnd = random.Random(0xFA5)
+    probes = [
+        b"\x00\xff\xfe\xfd" * 64,
+        b"GET\r\n\r\n",
+        b"GET / HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
+        b"POST /hello HTTP/1.1\r\nHost: x\r\nTransfer-Encoding: chunked\r\n\r\nzz",
+        b"GET /hello HTTP/1.1\r\n" + b"X-Pad: " + b"A" * 70000 + b"\r\n\r\n",  # header overflow
+        b"GET /echo HTTP/1.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n\r\n",  # no key
+        bytes(rnd.getrandbits(8) for _ in range(512)),
+    ]
+    for probe in probes:
+        s = socket.create_connection(("127.0.0.1", echo_server), timeout=5)
+        try:
+            s.sendall(probe)
+            s.settimeout(1.0)
+            try:
+                s.recv(4096)
+            except socket.timeout:
+                pass
+        finally:
+            s.close()
+        # listener must still serve a clean request
+        s2 = socket.create_connection(("127.0.0.1", echo_server), timeout=5)
+        s2.sendall(b"GET /hello HTTP/1.1\r\nHost: x\r\n\r\n")
+        buf = b""
+        s2.settimeout(5)
+        while b"\r\n\r\n" not in buf:
+            buf += s2.recv(4096)
+        assert b"200" in buf.split(b"\r\n")[0], (probe[:40], buf[:80])
+        s2.close()
+
+
+def test_ws_connection_churn_no_leak(echo_server):
+    """200 connect/exchange/disconnect cycles: the runtime must not leak
+    connection state (observable as slowdown or refusal near the end)."""
+    for i in range(200):
+        s = _handshake(echo_server)
+        s.sendall(_mask_frame(0x1, b"m%d" % i))
+        fin, op, payload = _read_frame(s)
+        assert payload == b"echo:m%d" % i
+        s.close()

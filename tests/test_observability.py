@@ -102,3 +102,55 @@ def test_session_logger_schema():
     log.reset()
     assert log.entry_count == 0
     assert len(list(csv.reader(io.StringIO(log.get_csv())))) == 1
+
+
+def test_session_replay_reproduces_and_detects_tampering(tmp_path):
+    """Evidence replay (fav_tpu/tools/replay.py): a genuine session CSV
+    reproduces within tolerance; a tampered row is flagged."""
+    from fav_tpu.core.session_log import SessionLogger
+    from fav_tpu.core.trust import TrustEngine
+    from fav_tpu.tools import replay
+
+    # deterministic clock so logged timestamps encode the exact dt
+    t = [1000.0]
+
+    def clock():
+        return t[0]
+
+    engine = TrustEngine(clock=clock)
+    logger = SessionLogger()
+    script = [("VISION_OK", 0.019)] * 60 + [("VISION_FROZEN", 0.01)] * 45 \
+        + [("VISION_OK", 0.02)] * 90 + [("VISION_CORRUPTED", 0.08)] * 30 \
+        + [("VISION_OK", 0.019)] * 120
+    for status, score in script:
+        t[0] += 1.0 / 30.0
+        state = engine.update(status, score, 1.0 / 30.0)
+        logger.log(state, score)
+
+    result = replay.replay_csv(logger.get_csv())
+    assert result["rows"] == len(script)
+    assert all(v <= 5e-4 for v in result["max_dev"].values()), result
+
+    # tamper with one reliability value mid-log
+    lines = logger.get_csv().split("\r\n")
+    cols = lines[100].split(",")
+    cols[1] = f"{float(cols[1]) + 0.2:.6f}"
+    lines[100] = ",".join(cols)
+    tampered = replay.replay_csv("\r\n".join(lines))
+    assert max(tampered["max_dev"].values()) > 0.1
+
+    # CLI surface
+    p = tmp_path / "session.csv"
+    p.write_text(logger.get_csv())
+    assert replay.main([str(p)]) == 0
+    p.write_text("\r\n".join(lines))
+    assert replay.main([str(p), "--tolerance", "1e-3"]) == 1
+
+
+def test_session_replay_rejects_foreign_csv():
+    import pytest
+
+    from fav_tpu.tools import replay
+
+    with pytest.raises(ValueError):
+        replay.replay_csv("a,b,c\r\n1,2,3\r\n")
