@@ -155,9 +155,13 @@ class ModelParams:
     num_classes: int = 10
     image_size: int = 32
     channels: int = 3
-    arch: str = "vgg"  # 'vgg' (FailureAwareCNN) | 'resnet' (ResNetSmall)
+    arch: str = "vgg"  # 'vgg' (FailureAwareCNN) | 'resnet' (ResNetSmall) | 'vit'
     widths: tuple = (64, 128, 256)
     dense_width: int = 256
+    # ViT family (models/vit.py); heads must divide the mesh 'model' size
+    vit_dim: int = 128
+    vit_depth: int = 4
+    vit_heads: int = 4
     dropout_rate: float = 0.1
     ensemble_size: int = 5
     mc_samples: int = 20

@@ -170,6 +170,18 @@ class ConvAutoencoder(nn.Module):
 
 def create_model(params: ModelParams | None = None):
     p = params or ModelParams()
+    if p.arch == "vit":
+        from fav_tpu.models.vit import VisionTransformer
+
+        return VisionTransformer(
+            num_classes=p.num_classes,
+            dim=p.vit_dim,
+            depth=p.vit_depth,
+            heads=p.vit_heads,
+            mlp_dim=2 * p.vit_dim,
+            dropout_rate=p.dropout_rate,
+            compute_dtype=p.compute_dtype,
+        )
     if p.arch == "resnet":
         return ResNetSmall(
             num_classes=p.num_classes,

@@ -28,7 +28,7 @@ def main(argv=None) -> dict:
                         help="comma-separated subset (default: all 15)")
     parser.add_argument("--widths", type=str, default="",
                         help="comma-separated CNN stage widths (default: config)")
-    parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet"),
+    parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet", "vit"),
                         help="classifier family (fav_tpu/models/cnn.py)")
     parser.add_argument("--ensemble", type=int, default=0,
                         help="evaluate an N-member ensemble checkpoint "

@@ -133,7 +133,7 @@ def main(argv=None) -> dict:
                              "(members on the mesh ensemble axis, batch on data)")
     parser.add_argument("--widths", type=str, default="",
                         help="comma-separated CNN stage widths (default: config)")
-    parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet"),
+    parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet", "vit"),
                         help="classifier family (fav_tpu/models/cnn.py)")
     parser.add_argument("--autoencoder", action="store_true",
                         help="train the conv autoencoder on normal frames; its "
@@ -225,6 +225,11 @@ def main(argv=None) -> dict:
         "arch": mp.arch,
         "widths": list(mp.widths),
         "dense_width": mp.dense_width,
+        **(
+            {"vit_dim": mp.vit_dim, "vit_depth": mp.vit_depth, "vit_heads": mp.vit_heads}
+            if mp.arch == "vit"
+            else {}
+        ),
     }
     print(json.dumps(metrics, indent=2))
 

@@ -105,7 +105,7 @@ class InferenceService:
             cfg = self.cfg
             overrides = {
                 k: pre_meta[k]
-                for k in ("arch", "dense_width")
+                for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads")
                 if pre_meta.get(k) is not None
             }
             if pre_meta.get("widths"):

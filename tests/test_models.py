@@ -247,3 +247,40 @@ def test_resnet_family_full_surface():
     )
     assert float(metrics["loss"]) > 0
     assert int(state2.step) == 1
+
+
+@pytest.mark.slow
+def test_vit_family_full_surface():
+    """Third model family (arch='vit'): forward, dropout-rng purity,
+    MC-dropout, ensembles, one train step — every harness unchanged."""
+    import optax
+
+    from fav_tpu.models.train import classifier_train_step, create_train_state
+
+    cfg = ModelParams(arch="vit", vit_dim=32, vit_depth=2, vit_heads=2, dropout_rate=0.1)
+    model = create_model(cfg)
+    assert type(model).__name__ == "VisionTransformer"
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    logits = jax.jit(model.apply)(params, x)
+    assert logits.shape == (4, 10) and logits.dtype == jnp.float32
+
+    out = mc_dropout_predict(model.apply, params, x, jax.random.PRNGKey(2), num_samples=3)
+    assert out["member_probs"].shape == (3, 4, 10)
+
+    stacked = init_ensemble(model, jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), 2)
+    eout = ensemble_predict(model.apply, stacked, x)
+    assert eout["probs"].shape == (4, 10)
+
+    state, tx = create_train_state(params, 1e-3)
+    # the train step donates its state: snapshot a leaf before stepping
+    leaf0 = np.asarray(jax.tree_util.tree_leaves(state.params)[-1]).copy()
+    ds = synthetic_cifar10(train_size=64, test_size=8, seed=6)
+    state2, metrics = classifier_train_step(
+        model.apply, tx, state,
+        jnp.asarray(ds.train_images[:32]), jnp.asarray(ds.train_labels[:32]),
+        jax.random.PRNGKey(4),
+    )
+    assert jnp.isfinite(metrics["loss"])
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(state2.params)[-1])
+    assert not np.allclose(leaf0, leaf1)

@@ -389,3 +389,28 @@ def test_evaluate_cli_mc_dropout_smoke(tmp_path):
     )
     assert result["summary"]["model"] == "random_init"
     assert "brightness" in result["per_corruption"]
+
+
+@pytest.mark.slow
+def test_vit_checkpoint_roundtrips_into_serving(tmp_path):
+    """arch='vit' checkpoints rebuild through metadata like the CNN families."""
+    from fav_tpu.models import pretrain
+    from fav_tpu.serving.inference import InferenceService
+
+    out = str(tmp_path / "vit")
+    metrics = pretrain.main(
+        ["--steps", "20", "--batch", "64", "--arch", "vit", "--out", out, "--log-every", "0"]
+    )
+    assert metrics["arch"] == "vit"
+    # wrong defaults on purpose: metadata must rebuild the ViT
+    service = InferenceService(ModelParams(), checkpoint_dir=out)
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:"), service.info()
+    assert 0.0 <= res["confidence"] <= 1.0
