@@ -117,6 +117,83 @@ def _pretrain_autoencoder(args) -> dict:
     return metrics
 
 
+def _distill(args) -> dict:
+    """Distill a trained teacher's MC-dropout predictive into a deterministic
+    student (fav_tpu/models/distill.py) and checkpoint it with quality
+    metrics measured the same way as a plain pretrain."""
+    import jax
+    import jax.numpy as jnp
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.data.cifar import load_cifar10
+    from fav_tpu.models.calibration import (
+        auroc,
+        expected_calibration_error,
+        failure_labels,
+        fit_temperature,
+    )
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.distill import distill_mc_dropout
+    from fav_tpu.models.train import classifier_eval_step
+    from fav_tpu.utils.checkpoint import (
+        DEFAULT_CKPT_DIR,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    teacher_dir = args.teacher or os.path.join(DEFAULT_CKPT_DIR, "classifier")
+    with open(os.path.join(teacher_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    mp = ModelParams(
+        arch=meta.get("arch", "vgg"),
+        widths=tuple(meta.get("widths") or ModelParams().widths),
+        dense_width=meta.get("dense_width") or ModelParams().dense_width,
+    )
+    model = create_model(mp)
+    ds = load_cifar10()
+    sample = jnp.zeros((1,) + ds.train_images.shape[1:], jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), sample)
+    teacher, _ = restore_checkpoint(teacher_dir, template)
+
+    student = distill_mc_dropout(
+        model, teacher, ds.train_images,
+        mc_samples=args.distill_mc, num_steps=args.steps, batch_size=args.batch,
+        learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
+    )
+
+    n_val = ds.test_images.shape[0] // 2
+    val_x, val_y = jnp.asarray(ds.test_images[:n_val]), jnp.asarray(ds.test_labels[:n_val])
+    test_x, test_y = jnp.asarray(ds.test_images[n_val:]), jnp.asarray(ds.test_labels[n_val:])
+    val_logits = classifier_eval_step(model.apply, student, val_x, val_y)["logits"]
+    out = classifier_eval_step(model.apply, student, test_x, test_y)
+    temperature = float(fit_temperature(val_logits, val_y))
+    probs = jax.nn.softmax(out["logits"] / temperature, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    preds = jnp.argmax(probs, axis=-1)
+    correct = (preds == test_y).astype(jnp.float64)
+    fails = failure_labels(preds, test_y)
+    metrics = {
+        "accuracy": round(float(out["accuracy"]), 4),
+        "temperature": round(temperature, 4),
+        "ece": round(float(expected_calibration_error(conf, correct)), 4),
+        "failure_auroc": (
+            round(float(auroc(1.0 - conf, fails)), 4) if int(fails.sum()) > 0 else None
+        ),
+        "data_source": ds.source,
+        "train_steps": args.steps,
+        "distilled_from": teacher_dir,
+        "distill_mc_samples": args.distill_mc,
+        "arch": mp.arch,
+        "widths": list(mp.widths),
+        "dense_width": mp.dense_width,
+    }
+    print(json.dumps(metrics, indent=2))
+    out_dir = args.out or os.path.join(DEFAULT_CKPT_DIR, "distilled")
+    save_checkpoint(out_dir, student, metadata=metrics)
+    print(f"checkpoint -> {out_dir}")
+    return metrics
+
+
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=1500)
@@ -139,10 +216,19 @@ def main(argv=None) -> dict:
                         help="train the conv autoencoder on normal frames; its "
                              "reconstruction-error baseline goes into checkpoint "
                              "metadata for uncertainty='autoencoder' serving")
+    parser.add_argument("--distill-mc", type=int, default=0,
+                        help="distill an existing teacher checkpoint's K-replica "
+                             "MC-dropout predictive into a deterministic student "
+                             "(single-forward calibrated confidence)")
+    parser.add_argument("--teacher", type=str, default=None,
+                        help="teacher checkpoint dir for --distill-mc "
+                             "(default: checkpoints/classifier)")
     args = parser.parse_args(argv)
 
     if args.autoencoder:
         return _pretrain_autoencoder(args)
+    if args.distill_mc:
+        return _distill(args)
 
     import jax
     import jax.numpy as jnp

@@ -414,3 +414,41 @@ def test_vit_checkpoint_roundtrips_into_serving(tmp_path):
     res = asyncio.run(run())
     assert service.source.startswith("checkpoint:"), service.info()
     assert 0.0 <= res["confidence"] <= 1.0
+
+
+@pytest.mark.slow
+def test_distillation_pipeline(tmp_path):
+    """Dropout distillation (PAPERS.md technique): teacher -> deterministic
+    student at single-forward cost; student must keep teacher-level accuracy
+    and produce a softer (better-calibrated-leaning) confidence surface."""
+    from fav_tpu.models import pretrain
+
+    teacher_dir = str(tmp_path / "teacher")
+    tmetrics = pretrain.main(
+        ["--steps", "120", "--batch", "128", "--widths", "8,16",
+         "--out", teacher_dir, "--log-every", "0"]
+    )
+    smetrics = pretrain.main(
+        ["--steps", "120", "--batch", "128", "--distill-mc", "4",
+         "--teacher", teacher_dir, "--out", str(tmp_path / "student"),
+         "--log-every", "0"]
+    )
+    assert smetrics["distill_mc_samples"] == 4
+    # student initialized from the teacher: accuracy must not collapse
+    assert smetrics["accuracy"] >= tmetrics["accuracy"] - 0.1
+    assert smetrics["failure_auroc"] is None or smetrics["failure_auroc"] > 0.5
+
+    # student checkpoint serves through the standard path
+    from fav_tpu.serving.inference import InferenceService
+
+    service = InferenceService(ModelParams(), checkpoint_dir=str(tmp_path / "student"))
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:")
+    assert 0.0 <= res["confidence"] <= 1.0
