@@ -64,6 +64,26 @@ def main(argv=None) -> dict:
     if args.widths:
         widths = tuple(int(w) for w in args.widths.split(","))
         mp = ModelParams(arch=args.arch, widths=widths, dense_width=widths[-1])
+
+    # checkpoint metadata wins over CLI arch/width flags (same integrity rule
+    # as serving: rebuilding the wrong template must be impossible)
+    default_name = "ensemble" if args.ensemble else "classifier"
+    ckpt = args.checkpoint or os.path.join(DEFAULT_CKPT_DIR, default_name)
+    meta_path = os.path.join(ckpt, "metadata.json")
+    if os.path.isfile(meta_path):
+        import dataclasses
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        overrides = {
+            k: meta[k]
+            for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads")
+            if meta.get(k) is not None
+        }
+        if meta.get("widths"):
+            overrides["widths"] = tuple(meta["widths"])
+        if overrides:
+            mp = dataclasses.replace(mp, **overrides)
     model = create_model(mp)
     sample = jnp.zeros((1,) + ds.test_images.shape[1:], jnp.float32)
     if args.ensemble:
@@ -89,8 +109,6 @@ def main(argv=None) -> dict:
     temperature = 1.0
     source = "random_init"
 
-    default_name = "ensemble" if args.ensemble else "classifier"
-    ckpt = args.checkpoint or os.path.join(DEFAULT_CKPT_DIR, default_name)
     if os.path.isdir(ckpt):
         params, meta = restore_checkpoint(ckpt, params)
         temperature = float(meta.get("temperature", 1.0))
