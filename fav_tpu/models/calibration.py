@@ -136,6 +136,63 @@ def auroc(scores: jax.Array, labels: jax.Array) -> jax.Array:
     return u / jnp.maximum(n_pos * n_neg, 1.0)
 
 
+@jax.jit
+def aupr(scores: jax.Array, labels: jax.Array) -> jax.Array:
+    """Area under the precision-recall curve (average precision).
+
+    Step-interpolated exactly like ``sklearn.metrics.average_precision_score``:
+    AP = sum_k (R_k - R_{k-1}) * P_k over descending-score thresholds, with
+    ties grouped (a tie block contributes at its block-end precision).
+    Static-shape: one sort + cumulative sums.
+    """
+    s = scores.reshape(-1).astype(jnp.float64)
+    y = labels.reshape(-1).astype(jnp.float64)
+    n = s.shape[0]
+    order = jnp.argsort(-s)
+    s_sorted = s[order]
+    y_sorted = y[order]
+    tp = jnp.cumsum(y_sorted)
+    precision = tp / jnp.arange(1, n + 1, dtype=jnp.float64)
+    n_pos = jnp.sum(y_sorted)
+    recall = tp / jnp.maximum(n_pos, 1.0)
+    # only the LAST element of each tie block is a valid operating point
+    is_block_end = jnp.concatenate([s_sorted[1:] != s_sorted[:-1], jnp.array([True])])
+    recall_prev = jnp.concatenate([jnp.array([0.0]), recall[:-1]])
+    # recall delta across a block accumulates to the block end: zero interior
+    # contributions by carrying recall_prev only at block boundaries
+    block_start = jnp.concatenate([jnp.array([True]), s_sorted[1:] != s_sorted[:-1]])
+    # recall at previous block end (0 for the first block)
+    prev_end_recall = jnp.where(block_start, recall_prev, 0.0)
+    # propagate the block-start previous recall to the block end via segment max
+    seg = jnp.cumsum(block_start) - 1
+    n_seg = n  # upper bound
+    start_recall = jnp.zeros(n_seg, jnp.float64).at[seg].max(prev_end_recall)
+    contrib = jnp.where(is_block_end, (recall - start_recall[seg]) * precision, 0.0)
+    return jnp.sum(contrib)
+
+
+@jax.jit
+def fpr_at_95_tpr(scores: jax.Array, labels: jax.Array) -> jax.Array:
+    """False-positive rate at the threshold where TPR first reaches 95%.
+
+    The standard OOD/failure-detection companion to AUROC: of the frames the
+    detector must pass to catch 95% of true failures, how many clean frames
+    are wrongly flagged. Lower is better.
+    """
+    s = scores.reshape(-1).astype(jnp.float64)
+    y = labels.reshape(-1).astype(jnp.float64)
+    order = jnp.argsort(-s)
+    y_sorted = y[order]
+    tp = jnp.cumsum(y_sorted)
+    fp = jnp.cumsum(1.0 - y_sorted)
+    n_pos = jnp.sum(y_sorted)
+    n_neg = jnp.maximum(s.shape[0] - n_pos, 1.0)
+    tpr = tp / jnp.maximum(n_pos, 1.0)
+    reached = tpr >= 0.95
+    idx = jnp.argmax(reached)  # first index where TPR >= 0.95
+    return jnp.where(jnp.any(reached), fp[idx] / n_neg, 1.0)
+
+
 def failure_labels(predictions: jax.Array, labels: jax.Array) -> jax.Array:
     """Failure = misclassification (reference README.md:22-24: "incorrect
     prediction with high confidence"). Positive class for failure-detection

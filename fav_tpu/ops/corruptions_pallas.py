@@ -31,6 +31,8 @@ __all__ = [
     "gaussian_noise_pallas",
     "impulse_noise_pallas",
     "shot_noise_pallas",
+    "brightness_pallas",
+    "contrast_pallas",
     "corrupt_normalize_pallas",
     "fast_corruption_fn",
     "GAUSSIAN_SIGMA",
@@ -42,6 +44,8 @@ __all__ = [
 GAUSSIAN_SIGMA = (0.08, 0.12, 0.18, 0.26, 0.38)
 IMPULSE_AMOUNT = (0.03, 0.06, 0.09, 0.17, 0.27)
 SHOT_C = (60.0, 25.0, 12.0, 5.0, 3.0)
+BRIGHTNESS_C = (0.1, 0.2, 0.3, 0.4, 0.5)
+CONTRAST_C = (0.4, 0.3, 0.2, 0.1, 0.05)
 
 _BLOCK = 128  # images per grid step: 128*32*32*3*4B = 1.5 MB in VMEM
 # (in+out double-buffered plus PRNG intermediates lands ~6 buffers of block
@@ -117,6 +121,20 @@ def _corrupt_normalize_kernel(seed_ref, x_ref, out_ref, *, sigma, bright, contra
         y = y + sigma * _standard_normal(x.shape)
     y = jnp.clip(y, 0.0, 1.0)
     out_ref[:] = (y - mean) * scale
+
+
+def _photometric_kernel(seed_ref, x_ref, out_ref, *, bright, contrast):
+    """Digital-family photometric cell: out = clip((x - mu)*contrast + mu + b).
+
+    No PRNG — this kernel is *exactly* the jnp oracle's math
+    (corruptions.brightness/contrast), so its equivalence test is bitwise-
+    tolerant rather than statistical. contrast==1 skips the mean entirely so
+    brightness stays exact (no (x-mu)+mu round-trip)."""
+    x = x_ref[:]
+    if contrast != 1.0:
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        x = (x - mu) * contrast + mu
+    out_ref[:] = jnp.clip(x + bright, 0.0, 1.0)
 
 
 def _grid_call(kernel, x, seed, interpret):
@@ -203,6 +221,21 @@ def corrupt_normalize_pallas(
     return _grid_call(k, x, seed, interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
+def brightness_pallas(seed, x, severity: int = 3, interpret: bool = False):
+    """Exact Pallas brightness cell (oracle: corruptions.brightness)."""
+    k = functools.partial(_photometric_kernel, bright=BRIGHTNESS_C[severity - 1], contrast=1.0)
+    return _grid_call(k, x, seed, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
+def contrast_pallas(seed, x, severity: int = 3, interpret: bool = False):
+    """Exact Pallas contrast cell with the per-image mean reduced in-kernel
+    (oracle: corruptions.contrast)."""
+    k = functools.partial(_photometric_kernel, bright=0.0, contrast=CONTRAST_C[severity - 1])
+    return _grid_call(k, x, seed, interpret)
+
+
 def _key_to_seed(key):
     """Fold a jax PRNG key (typed or raw uint32) into the int32 seed the
     hardware PRNG takes."""
@@ -225,4 +258,14 @@ def fast_corruption_fn(name: str):
         return lambda key, x, severity: impulse_noise_pallas(_key_to_seed(key), x, severity)
     if name == "shot_noise":
         return lambda key, x, severity: shot_noise_pallas(_key_to_seed(key), x, severity)
+    if name == "brightness":
+        return lambda key, x, severity: brightness_pallas(_key_to_seed(key), x, severity)
+    if name == "contrast":
+        return lambda key, x, severity: contrast_pallas(_key_to_seed(key), x, severity)
+    # Remaining families (blur, weather textures, elastic/pixelate/jpeg) are
+    # conv-, resize- and DCT-shaped: XLA lowers them onto the MXU directly
+    # (measured <=10 ms per 2048-batch cell, BENCH.md) and a hand Pallas
+    # kernel cannot beat the systolic-array conv it would have to re-derive.
+    # Pallas is reserved for what XLA lowers badly: hardware-PRNG noise and
+    # cross-op fusions with in-kernel reductions (above).
     return _jnp_fn(name)

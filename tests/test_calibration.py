@@ -70,6 +70,38 @@ def test_auroc_matches_sklearn(ties):
     assert got == pytest.approx(want, abs=1e-9)
 
 
+@pytest.mark.parametrize("ties", [False, True])
+def test_aupr_matches_sklearn(ties):
+    from sklearn.metrics import average_precision_score
+
+    from fav_tpu.models.calibration import aupr
+
+    rng = np.random.default_rng(5)
+    scores = rng.normal(0, 1, 400)
+    labels = (rng.uniform(0, 1, 400) < jax.nn.sigmoid(scores)).astype(int)
+    if ties:
+        scores = np.round(scores, 1)
+    got = float(aupr(jnp.asarray(scores), jnp.asarray(labels)))
+    want = average_precision_score(labels, scores)
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_fpr_at_95_tpr_matches_numpy_oracle():
+    from sklearn.metrics import roc_curve
+
+    from fav_tpu.models.calibration import fpr_at_95_tpr
+
+    rng = np.random.default_rng(6)
+    scores = rng.normal(0, 1, 500)
+    labels = (rng.uniform(0, 1, 500) < jax.nn.sigmoid(scores)).astype(int)
+    got = float(fpr_at_95_tpr(jnp.asarray(scores), jnp.asarray(labels)))
+    fpr, tpr, _ = roc_curve(labels, scores)
+    want = float(fpr[np.searchsorted(tpr, 0.95, side="left")])
+    assert got == pytest.approx(want, abs=1e-9)
+    # degenerate: no failures at all -> defined fallback of 1.0
+    assert float(fpr_at_95_tpr(jnp.asarray(scores), jnp.zeros(500))) == 1.0
+
+
 def test_auroc_perfect_and_random():
     s = jnp.asarray([0.1, 0.2, 0.8, 0.9])
     y = jnp.asarray([0, 0, 1, 1])

@@ -123,9 +123,30 @@ def test_fast_corruption_fn_fallback():
     """Non-accelerated names route to the identical jnp implementation."""
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3), jnp.float32)
     key = jax.random.PRNGKey(3)
-    got = fast_corruption_fn("brightness")(key, x, 2)
-    want = corruption_fn("brightness")(key, x, 2)
+    got = fast_corruption_fn("fog")(key, x, 2)
+    want = corruption_fn("fog")(key, x, 2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_photometric_pallas_exact():
+    """brightness/contrast kernels are deterministic math — exact vs oracle
+    at every severity (the per-image mean reduces in-kernel)."""
+    from fav_tpu.ops.corruptions_pallas import brightness_pallas, contrast_pallas
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3), jnp.float32)
+    key = jax.random.PRNGKey(4)  # unused by the oracle for these cells
+    for sev in range(1, 6):
+        got_b = brightness_pallas(7, x, sev, interpret=True)
+        want_b = corruption_fn("brightness")(key, x, sev)
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b), atol=1e-6)
+        got_c = contrast_pallas(7, x, sev, interpret=True)
+        want_c = corruption_fn("contrast")(key, x, sev)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), atol=1e-6)
+
+
+def test_photometric_routing():
+    for name in ("brightness", "contrast"):
+        assert fast_corruption_fn(name) is not corruption_fn(name)
 
 
 def test_glass_blur_shift_select_equals_gather():
