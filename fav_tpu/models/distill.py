@@ -23,7 +23,7 @@ import optax
 
 from fav_tpu.data.cifar import batch_iterator
 
-__all__ = ["make_distill_step", "distill_mc_dropout"]
+__all__ = ["make_distill_step", "distill_mc_dropout", "make_kd_step", "distill_ensemble"]
 
 
 def make_distill_step(apply_fn, tx, mc_samples: int, temperature: float = 1.0):
@@ -57,6 +57,78 @@ def make_distill_step(apply_fn, tx, mc_samples: int, temperature: float = 1.0):
         return student_params, opt_state, loss
 
     return step
+
+
+def make_kd_step(student_apply, teacher_apply, tx, kd_temperature: float, hard_weight: float):
+    """One jitted knowledge-distillation step from a stacked-params ensemble.
+
+    Classic Hinton KD with an ensemble teacher: targets are the softmax of
+    the *member-mean logits* at temperature T (exactly what
+    ``evaluate --ensemble`` serves), the student matches them at the same T
+    (loss scaled by T^2 so gradients are T-invariant), plus a small
+    hard-label CE term. Teacher forwards are a ``vmap`` over the member
+    axis fused into the same program as the student update — on a mesh the
+    member axis shards over ensemble devices (SURVEY.md §2.5).
+    """
+
+    @jax.jit
+    def step(student_params, opt_state, stacked_teacher, images, labels):
+        member_logits = jax.vmap(lambda p: teacher_apply(p, images))(stacked_teacher)
+        targets = jax.lax.stop_gradient(
+            jax.nn.softmax(jnp.mean(member_logits, axis=0) / kd_temperature, axis=-1)
+        )
+
+        def loss_fn(p):
+            logits = student_apply(p, images)
+            logp_soft = jax.nn.log_softmax(logits / kd_temperature, axis=-1)
+            soft = -jnp.mean(jnp.sum(targets * logp_soft, axis=-1)) * kd_temperature**2
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            hard = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+            return soft + hard_weight * hard
+
+        loss, grads = jax.value_and_grad(loss_fn)(student_params)
+        updates, opt_state = tx.update(grads, opt_state, student_params)
+        return optax.apply_updates(student_params, updates), opt_state, loss
+
+    return step
+
+
+def distill_ensemble(
+    student_model,
+    teacher_apply,
+    stacked_teacher: Any,
+    images,
+    labels,
+    num_steps: int = 3000,
+    batch_size: int = 512,
+    learning_rate: float = 1e-3,
+    kd_temperature: float = 2.0,
+    hard_weight: float = 0.3,
+    seed: int = 0,
+    log_every: int = 0,
+) -> Any:
+    """Distill a deep ensemble into a (typically *smaller*) student.
+
+    Unlike :func:`distill_mc_dropout`, the student architecture is free —
+    it initializes from scratch, so a half-width student learns the
+    ensemble's decision surface at a fraction of the serving FLOPs. This is
+    the TPU-first deployment shape: one dense compact forward that keeps
+    the MXU busy instead of M full-size members.
+    """
+    sample = jnp.zeros((1,) + images.shape[1:], jnp.float32)
+    student = student_model.init(jax.random.PRNGKey(seed + 3), sample)
+    tx = optax.adamw(learning_rate)
+    opt_state = tx.init(student)
+    step = make_kd_step(student_model.apply, teacher_apply, tx, kd_temperature, hard_weight)
+    it = batch_iterator(images, labels, batch_size, seed=seed)
+    for i in range(num_steps):
+        x, y = next(it)
+        student, opt_state, loss = step(
+            student, opt_state, stacked_teacher, jnp.asarray(x), jnp.asarray(y)
+        )
+        if log_every and (i + 1) % log_every == 0:
+            print(f"kd step {i+1}: loss {float(loss):.4f}")
+    return student
 
 
 def distill_mc_dropout(

@@ -194,6 +194,97 @@ def _distill(args) -> dict:
     return metrics
 
 
+def _distill_ensemble(args) -> dict:
+    """Distill the stacked-ensemble checkpoint into a compact student
+    (fav_tpu/models/distill.py:distill_ensemble). The student's architecture
+    comes from --widths (default: half the teacher's), so serving gets
+    ensemble-grade confidence at a fraction of the per-frame FLOPs."""
+    import jax
+    import jax.numpy as jnp
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.data.cifar import load_cifar10
+    from fav_tpu.models.calibration import (
+        auroc,
+        expected_calibration_error,
+        failure_labels,
+        fit_temperature,
+    )
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.distill import distill_ensemble
+    from fav_tpu.models.train import classifier_eval_step
+    from fav_tpu.models.uncertainty import init_ensemble
+    from fav_tpu.utils.checkpoint import (
+        DEFAULT_CKPT_DIR,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    teacher_dir = args.teacher or os.path.join(DEFAULT_CKPT_DIR, "ensemble")
+    with open(os.path.join(teacher_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    t_mp = ModelParams(
+        arch=meta.get("arch", "vgg"),
+        widths=tuple(meta.get("widths") or ModelParams().widths),
+        dense_width=meta.get("dense_width") or ModelParams().dense_width,
+    )
+    teacher_model = create_model(t_mp)
+    ds = load_cifar10()
+    sample = jnp.zeros((1,) + ds.train_images.shape[1:], jnp.float32)
+    size = int(meta.get("ensemble_size") or 5)
+    template = init_ensemble(teacher_model, jax.random.PRNGKey(0), sample, size)
+    stacked, _ = restore_checkpoint(teacher_dir, template)
+
+    if args.widths:
+        widths = tuple(int(w) for w in args.widths.split(","))
+    else:
+        widths = tuple(w // 2 for w in t_mp.widths)
+    s_mp = ModelParams(arch="vgg", widths=widths, dense_width=widths[-1])
+    student_model = create_model(s_mp)
+    print(f"distilling {size}-member {t_mp.widths} ensemble -> student {widths}")
+
+    student = distill_ensemble(
+        student_model, teacher_model.apply, stacked,
+        ds.train_images, ds.train_labels,
+        num_steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
+        kd_temperature=args.kd_temperature, seed=args.seed, log_every=args.log_every,
+    )
+
+    n_val = ds.test_images.shape[0] // 2
+    val_x, val_y = jnp.asarray(ds.test_images[:n_val]), jnp.asarray(ds.test_labels[:n_val])
+    test_x, test_y = jnp.asarray(ds.test_images[n_val:]), jnp.asarray(ds.test_labels[n_val:])
+    val_logits = classifier_eval_step(student_model.apply, student, val_x, val_y)["logits"]
+    out = classifier_eval_step(student_model.apply, student, test_x, test_y)
+    temperature = float(fit_temperature(val_logits, val_y))
+    probs = jax.nn.softmax(out["logits"] / temperature, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    preds = jnp.argmax(probs, axis=-1)
+    correct = (preds == test_y).astype(jnp.float64)
+    fails = failure_labels(preds, test_y)
+    metrics = {
+        "accuracy": round(float(out["accuracy"]), 4),
+        "temperature": round(temperature, 4),
+        "ece": round(float(expected_calibration_error(conf, correct)), 4),
+        "failure_auroc": (
+            round(float(auroc(1.0 - conf, fails)), 4) if int(fails.sum()) > 0 else None
+        ),
+        "data_source": ds.source,
+        "train_steps": args.steps,
+        "distilled_from": teacher_dir,
+        "teacher_ensemble_size": size,
+        "kd_temperature": args.kd_temperature,
+        "ensemble_size": None,
+        "arch": s_mp.arch,
+        "widths": list(s_mp.widths),
+        "dense_width": s_mp.dense_width,
+    }
+    print(json.dumps(metrics, indent=2))
+    out_dir = args.out or os.path.join(DEFAULT_CKPT_DIR, "student_compact")
+    save_checkpoint(out_dir, student, metadata=metrics)
+    print(f"checkpoint -> {out_dir}")
+    return metrics
+
+
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=1500)
@@ -222,13 +313,22 @@ def main(argv=None) -> dict:
                              "(single-forward calibrated confidence)")
     parser.add_argument("--teacher", type=str, default=None,
                         help="teacher checkpoint dir for --distill-mc "
-                             "(default: checkpoints/classifier)")
+                             "(default: checkpoints/classifier) or "
+                             "--distill-ensemble (default: checkpoints/ensemble)")
+    parser.add_argument("--distill-ensemble", action="store_true",
+                        help="distill the stacked-ensemble checkpoint into a "
+                             "compact student (--widths sets the student; "
+                             "default: half the teacher's widths)")
+    parser.add_argument("--kd-temperature", type=float, default=2.0,
+                        help="Hinton KD temperature for --distill-ensemble")
     args = parser.parse_args(argv)
 
     if args.autoencoder:
         return _pretrain_autoencoder(args)
     if args.distill_mc:
         return _distill(args)
+    if args.distill_ensemble:
+        return _distill_ensemble(args)
 
     import jax
     import jax.numpy as jnp

@@ -452,3 +452,41 @@ def test_distillation_pipeline(tmp_path):
     res = asyncio.run(run())
     assert service.source.startswith("checkpoint:")
     assert 0.0 <= res["confidence"] <= 1.0
+
+
+@pytest.mark.slow
+def test_ensemble_distillation_pipeline(tmp_path):
+    """Ensemble -> compact student KD (fav_tpu/models/distill.py): the
+    student architecture is free (here narrower than the teacher), metadata
+    records the lineage, and the checkpoint serves through the standard
+    metadata-driven path."""
+    from fav_tpu.models import pretrain
+
+    teacher_dir = str(tmp_path / "ens")
+    pretrain.main(
+        ["--steps", "100", "--batch", "128", "--widths", "8,16",
+         "--ensemble", "2", "--out", teacher_dir, "--log-every", "0"]
+    )
+    smetrics = pretrain.main(
+        ["--steps", "150", "--batch", "128", "--distill-ensemble",
+         "--teacher", teacher_dir, "--widths", "8,8",
+         "--out", str(tmp_path / "student"), "--log-every", "0"]
+    )
+    assert smetrics["teacher_ensemble_size"] == 2
+    assert smetrics["widths"] == [8, 8]
+    assert smetrics["accuracy"] > 0.3  # learned something from soft labels
+    assert smetrics["ensemble_size"] is None  # student is a single model
+
+    from fav_tpu.serving.inference import InferenceService
+
+    service = InferenceService(ModelParams(), checkpoint_dir=str(tmp_path / "student"))
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:")
+    assert 0.0 <= res["confidence"] <= 1.0
