@@ -196,6 +196,11 @@ class ServerParams:
     # (fav_tpu/serving/inference.py; 'autoencoder' serves the reference's
     # canonical reconstruction-error design from the shipped AE checkpoint)
     uncertainty: str = "msp"
+    # explicit checkpoint dir for the serving model ("" = per-mode default
+    # under fav_tpu/checkpoints/). Point FAV_SERVER_CHECKPOINT at e.g.
+    # checkpoints/student_compact to serve the ensemble-distilled compact
+    # student (arch is rebuilt from checkpoint metadata either way).
+    checkpoint: str = ""
     # micro-batch frame analysis across connections (one device call for N
     # live streams instead of N calls; fav_tpu/serving/analysis.py)
     batched_analysis: bool = True

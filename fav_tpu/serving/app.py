@@ -383,6 +383,7 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
     inference = (
         InferenceService(
             cfg.model,
+            checkpoint_dir=cfg.server.checkpoint or None,
             max_wait_ms=cfg.server.inference_max_wait_ms,
             uncertainty=cfg.server.uncertainty,
         )

@@ -490,3 +490,25 @@ def test_ensemble_distillation_pipeline(tmp_path):
     res = asyncio.run(run())
     assert service.source.startswith("checkpoint:")
     assert 0.0 <= res["confidence"] <= 1.0
+
+
+@pytest.mark.slow
+def test_serving_committed_compact_student():
+    """The committed ensemble-distilled student serves through the standard
+    metadata-driven path (cfg.server.checkpoint / checkpoint_dir override) —
+    the deployment the headline bench measures (bench.py STUDENT_CKPT)."""
+    from fav_tpu.serving.inference import InferenceService
+
+    ckpt = os.path.join(os.path.dirname(__file__), "..", "fav_tpu", "checkpoints", "student_compact")
+    service = InferenceService(ModelParams(), checkpoint_dir=ckpt)
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:"), service.info()
+    assert "error" not in service.info()
+    assert 0.0 <= res["confidence"] <= 1.0
