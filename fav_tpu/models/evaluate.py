@@ -135,22 +135,32 @@ def main(argv=None) -> dict:
     # defined where failures exist — zero-failure cells are excluded, not
     # counted as 0 (ranking nothing is not "perfectly wrong").
     def agg(cells):
-        scored = [c["auroc"] for c in cells.values() if c["failure_rate"] > 0]
-        return {
+        with_fail = [c for c in cells.values() if c["failure_rate"] > 0]
+        out = {
             "accuracy": round(sum(c["accuracy"] for c in cells.values()) / len(cells), 4),
-            "auroc": round(sum(scored) / len(scored), 4) if scored else None,
+            "auroc": None,
             "mean_anomaly": round(sum(c["mean_anomaly"] for c in cells.values()) / len(cells), 4),
         }
+        if with_fail:
+            for m in ("auroc", "aupr", "fpr_at_95"):
+                out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
+        return out
 
     per_corruption = {name: agg(cells) for name, cells in grid.items()}
-    aurocs = [v["auroc"] for v in per_corruption.values() if v["auroc"] is not None]
+
+    def overall_mean(metric):
+        vals = [v[metric] for v in per_corruption.values() if v.get(metric) is not None]
+        return round(sum(vals) / len(vals), 4) if vals else None
+
     overall = {
         "model": source,
         "images_per_cell": n,
         "mean_corrupted_accuracy": round(
             sum(v["accuracy"] for v in per_corruption.values()) / len(per_corruption), 4
         ),
-        "mean_failure_auroc": round(sum(aurocs) / len(aurocs), 4) if aurocs else None,
+        "mean_failure_auroc": overall_mean("auroc"),
+        "mean_failure_aupr": overall_mean("aupr"),
+        "mean_fpr_at_95": overall_mean("fpr_at_95"),
         "devices": jax.device_count(),
         "data_source": ds.source,
     }

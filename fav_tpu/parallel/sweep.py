@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fav_tpu.models.calibration import auroc, failure_labels
+from fav_tpu.models.calibration import aupr, auroc, failure_labels, fpr_at_95_tpr
 from fav_tpu.models.uncertainty import anomaly_from_confidence
 from fav_tpu.ops.corruptions import CORRUPTION_NAMES, SEVERITIES, corruption_fn
 
@@ -62,6 +62,8 @@ def sweep_cell(
         "mean_entropy": jnp.mean(entropy),
         "failure_rate": jnp.mean(fails.astype(jnp.float32)),
         "auroc": auroc(1.0 - conf, fails),
+        "aupr": aupr(1.0 - conf, fails),
+        "fpr_at_95": fpr_at_95_tpr(1.0 - conf, fails),
         "mean_anomaly": jnp.mean(anomaly_from_confidence(conf)),
     }
 

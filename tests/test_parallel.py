@@ -226,3 +226,20 @@ def test_vit_tensor_parallel_matches_single():
     assert any(
         s.data.shape[-2] == 1 for k in qkv for s in k.addressable_shards
     ), "heads not sharded over the model axis"
+
+
+def test_sweep_cell_detection_metric_suite():
+    """AUPR + FPR@95 ride every cell next to AUROC (calibration.py oracles)."""
+    import jax
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.parallel.sweep import sweep_cell
+
+    model = create_model(ModelParams(widths=(8, 16), dense_width=16))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 32, 3), jnp.float32)
+    y = jax.random.randint(jax.random.PRNGKey(1), (32,), 0, 10)
+    v = model.init(jax.random.PRNGKey(2), x[:1])
+    cell = sweep_cell("gaussian_noise", model.apply, v, x, y, jax.random.PRNGKey(3), 3)
+    for k in ("aupr", "fpr_at_95"):
+        assert 0.0 <= float(cell[k]) <= 1.0, (k, float(cell[k]))
