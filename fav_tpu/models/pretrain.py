@@ -321,6 +321,13 @@ def main(argv=None) -> dict:
                              "default: half the teacher's widths)")
     parser.add_argument("--kd-temperature", type=float, default=2.0,
                         help="Hinton KD temperature for --distill-ensemble")
+    parser.add_argument("--augmix", action="store_true",
+                        help="corruption-robust training: AugMix chains "
+                             "(affine/posterize/solarize/autocontrast — "
+                             "disjoint from the 15 test corruptions) with a "
+                             "Jensen-Shannon consistency loss")
+    parser.add_argument("--js-lam", type=float, default=12.0,
+                        help="JS consistency weight for --augmix")
     args = parser.parse_args(argv)
 
     if args.autoencoder:
@@ -362,6 +369,7 @@ def main(argv=None) -> dict:
         params, _ = train_classifier(
             model, ds, num_steps=args.steps, batch_size=args.batch,
             learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
+            augmix=args.augmix, js_lam=args.js_lam,
         )
 
     # held-out split: half for temperature fitting, half for reporting
@@ -406,6 +414,7 @@ def main(argv=None) -> dict:
         "data_source": ds.source,
         "train_steps": args.steps,
         "ensemble_size": args.ensemble or None,
+        **({"augmix": True, "js_lam": args.js_lam} if args.augmix else {}),
         # serving rebuilds the exact architecture from these — a template
         # mismatch must be impossible, not silently tolerated
         "arch": mp.arch,

@@ -27,6 +27,7 @@ __all__ = [
     "create_train_state",
     "classifier_train_step",
     "classifier_eval_step",
+    "augmix_train_step",
     "autoencoder_train_step",
     "make_ensemble_train_step",
     "train_classifier",
@@ -69,6 +70,49 @@ def classifier_train_step(
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), {"loss": loss, "accuracy": acc}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def augmix_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    js_lam: jax.Array,
+) -> tuple[TrainState, dict]:
+    """AugMix train step (Hendrycks et al., ICLR 2020): CE on the clean view
+    plus ``js_lam`` x Jensen-Shannon consistency across (clean, augmix1,
+    augmix2). All three views ride ONE batched forward — a [3B, H, W, C]
+    matmul keeps the MXU saturated instead of three half-empty launches.
+    Augmentation ops are disjoint from the 15 test corruptions
+    (fav_tpu/ops/augment.py), so the corruption grid stays held out."""
+    from fav_tpu.ops.augment import augmix, js_consistency
+
+    k1, k2, kd = jax.random.split(key, 3)
+    aug1 = augmix(k1, images)
+    aug2 = augmix(k2, images)
+    trio = jnp.concatenate([images, aug1, aug2], axis=0)
+    b = images.shape[0]
+
+    def loss_fn(p):
+        logits = apply_fn(p, trio, train=True, rngs={"dropout": kd})
+        lc, la, lb = logits[:b], logits[b : 2 * b], logits[2 * b :]
+        ce = optax.softmax_cross_entropy_with_integer_labels(lc, labels).mean()
+        js = js_consistency(lc, la, lb)
+        acc = jnp.mean(jnp.argmax(lc, -1) == labels)
+        return ce + js_lam * js, (acc, ce, js)
+
+    (loss, (acc, ce, js)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), {
+        "loss": loss,
+        "accuracy": acc,
+        "ce": ce,
+        "js": js,
+    }
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -130,8 +174,13 @@ def train_classifier(
     learning_rate: float = 1e-3,
     seed: int = 0,
     log_every: int = 0,
+    augmix: bool = False,
+    js_lam: float = 12.0,
 ) -> tuple[Any, dict]:
-    """Convenience host loop: train the CNN, return (params, final metrics)."""
+    """Convenience host loop: train the CNN, return (params, final metrics).
+
+    ``augmix=True`` switches to the AugMix consistency objective
+    (``augmix_train_step``) for corruption-robust training."""
     from fav_tpu.data.cifar import batch_iterator
 
     key = jax.random.PRNGKey(seed)
@@ -142,12 +191,18 @@ def train_classifier(
 
     it = batch_iterator(dataset.train_images, dataset.train_labels, batch_size, seed=seed)
     metrics = {}
+    lam = jnp.float32(js_lam)
     for i in range(num_steps):
         images, labels = next(it)
         key, step_key = jax.random.split(key)
-        state, metrics = classifier_train_step(
-            model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), step_key
-        )
+        if augmix:
+            state, metrics = augmix_train_step(
+                model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), step_key, lam
+            )
+        else:
+            state, metrics = classifier_train_step(
+                model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), step_key
+            )
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i+1}: loss={float(metrics['loss']):.4f} acc={float(metrics['accuracy']):.4f}")
     return state.params, {k: float(v) for k, v in metrics.items()}

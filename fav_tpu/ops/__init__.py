@@ -19,3 +19,4 @@ from fav_tpu.ops.corruptions_pallas import (  # noqa: F401
     impulse_noise_pallas,
 )
 from fav_tpu.ops.signal_pallas import analyze_frames_pallas, frame_stats_pallas  # noqa: F401
+from fav_tpu.ops.augment import NUM_OPS, augment_op, augmix, js_consistency  # noqa: F401

@@ -1,0 +1,113 @@
+"""AugMix augmentation ops and the consistency train step.
+
+The reference trains nothing (reference platform/backend/anomaly_simulator.py:7-9);
+AugMix-style robust training is a framework capability on top of the same
+corruption-grid protocol (SURVEY.md §5.3). Ops must stay disjoint from the 15
+test corruptions — these tests pin the op semantics and the training contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fav_tpu.ops.augment import NUM_OPS, augment_op, augmix, js_consistency
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    return jax.random.uniform(jax.random.PRNGKey(3), (4, 16, 16, 3))
+
+
+def test_augmix_shape_range_determinism(imgs):
+    key = jax.random.PRNGKey(0)
+    out = augmix(key, imgs)
+    assert out.shape == imgs.shape and out.dtype == imgs.dtype
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert np.allclose(out, augmix(key, imgs))  # same key -> same batch
+    assert not np.allclose(out, augmix(jax.random.PRNGKey(1), imgs))
+    # per-image independence: images in a batch get different chains
+    same = jnp.stack([imgs[0], imgs[0]])
+    pair = augmix(key, same)
+    assert not np.allclose(pair[0], pair[1])
+
+
+def test_all_ops_finite_and_shaped(imgs):
+    img = imgs[0]
+    for i in range(NUM_OPS):
+        out = augment_op(jnp.int32(i), img, jnp.float32(0.8), jax.random.PRNGKey(i))
+        assert out.shape == img.shape
+        assert bool(jnp.isfinite(out).all()), f"op {i} produced non-finite values"
+
+
+def test_posterize_quantizes():
+    img = jnp.linspace(0.0, 1.0, 256).reshape(16, 16, 1)
+    out = augment_op(jnp.int32(5), img, jnp.float32(1.0), jax.random.PRNGKey(0))
+    # mag 1.0 -> 4 levels
+    assert len(np.unique(np.asarray(out).round(6))) <= 4
+
+
+def test_solarize_inverts_above_threshold():
+    img = jnp.full((4, 4, 1), 0.9)
+    out = augment_op(jnp.int32(6), img, jnp.float32(1.0), jax.random.PRNGKey(0))
+    assert np.allclose(out, 1.0 - img)  # 0.9 >= thresh 0.3 -> inverted
+    low = jnp.full((4, 4, 1), 0.1)
+    out_low = augment_op(jnp.int32(6), low, jnp.float32(1.0), jax.random.PRNGKey(0))
+    assert np.allclose(out_low, low)  # below threshold untouched
+
+
+def test_autocontrast_stretches_to_full_range():
+    img = jnp.linspace(0.3, 0.6, 64).reshape(8, 8, 1)
+    out = augment_op(jnp.int32(7), img, jnp.float32(1.0), jax.random.PRNGKey(0))
+    assert abs(float(out.min())) < 1e-5 and abs(float(out.max()) - 1.0) < 1e-5
+
+
+def test_translate_moves_content():
+    img = jnp.zeros((16, 16, 1)).at[8, 8, 0].set(1.0)
+    out = augment_op(jnp.int32(3), img, jnp.float32(1.0), jax.random.PRNGKey(0))
+    peak = np.unravel_index(np.argmax(np.asarray(out)), out.shape)
+    assert peak[1] != 8  # translate_x moved the bright pixel horizontally
+
+
+def test_ops_disjoint_from_test_corruptions():
+    """The leak-free contract: no augmentation op name overlaps the 15-cell grid."""
+    from fav_tpu.ops.augment import _OPS
+    from fav_tpu.ops.corruptions import CORRUPTION_NAMES
+
+    op_names = {f.__name__.lstrip("_") for f in _OPS}
+    assert not op_names & set(CORRUPTION_NAMES)
+
+
+def test_js_consistency_properties():
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (8, 10))
+    assert abs(float(js_consistency(logits, logits, logits))) < 1e-6
+    div = float(js_consistency(logits, -logits, 2.0 * logits))
+    assert 0.0 < div < np.log(3.0) + 1e-6  # JS of 3 dists is bounded by ln 3
+
+
+@pytest.mark.slow
+def test_augmix_train_step_learns():
+    import optax
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.train import augmix_train_step, create_train_state
+
+    model = create_model(ModelParams(widths=(8, 16), dense_width=16))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (16, 32, 32, 3))
+    y = jax.random.randint(key, (16,), 0, 10)
+    params = model.init(key, x[:1])
+    state, tx = create_train_state(params)
+    lam = jnp.float32(12.0)
+    first = None
+    for i in range(12):
+        state, m = augmix_train_step(
+            model.apply, tx, state, x, y, jax.random.fold_in(key, i), lam
+        )
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first  # memorizes the fixed batch
+    assert float(m["js"]) >= 0.0
+    assert int(state.step) == 12
