@@ -61,7 +61,10 @@ def _train_ensemble(model, ds, args):
             a = jnp.asarray(a)
             return jax.device_put(a, data_sh if a.ndim == 4 else lbl_sh)
 
-    step = make_ensemble_train_step(model.apply, tx)
+    step = make_ensemble_train_step(
+        model.apply, tx, augmix=getattr(args, "augmix", False),
+        js_lam=getattr(args, "js_lam", 12.0),
+    )
     it = batch_iterator(ds.train_images, ds.train_labels, args.batch, seed=args.seed)
     key = jax.random.PRNGKey(args.seed + 1)
     for i in range(args.steps):

@@ -142,16 +142,44 @@ def autoencoder_train_step(
     return TrainState(params, opt_state, state.step + 1), {"loss": loss}
 
 
-def make_ensemble_train_step(apply_fn: Callable, tx: optax.GradientTransformation):
+def make_ensemble_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    augmix: bool = False,
+    js_lam: float = 12.0,
+):
     """Train-step over stacked ensemble params: vmap of the single-member
     update. Each member sees the same batch but independent dropout keys
     (bagging comes from independent inits — the standard deep-ensembles
-    recipe). The member axis is shardable over the mesh."""
+    recipe). The member axis is shardable over the mesh.
+
+    ``augmix=True`` switches each member to the AugMix consistency
+    objective with member-independent augmentation draws — extra predictive
+    diversity on top of independent inits."""
 
     def member_step(state: TrainState, images, labels, key):
-        (loss, acc), grads = jax.value_and_grad(
-            lambda p: _ce_loss(apply_fn, p, images, labels, key), has_aux=True
-        )(state.params)
+        if augmix:
+            from fav_tpu.ops.augment import augmix as _augmix
+            from fav_tpu.ops.augment import js_consistency
+
+            k1, k2, kd = jax.random.split(key, 3)
+            aug1 = _augmix(k1, images)
+            aug2 = _augmix(k2, images)
+            trio = jnp.concatenate([images, aug1, aug2], axis=0)
+            b = images.shape[0]
+
+            def loss_fn(p):
+                logits = apply_fn(p, trio, train=True, rngs={"dropout": kd})
+                lc, la, lb = logits[:b], logits[b : 2 * b], logits[2 * b :]
+                ce = optax.softmax_cross_entropy_with_integer_labels(lc, labels).mean()
+                acc = jnp.mean(jnp.argmax(lc, -1) == labels)
+                return ce + js_lam * js_consistency(lc, la, lb), acc
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        else:
+            (loss, acc), grads = jax.value_and_grad(
+                lambda p: _ce_loss(apply_fn, p, images, labels, key), has_aux=True
+            )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), {"loss": loss, "accuracy": acc}

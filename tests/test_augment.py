@@ -111,3 +111,28 @@ def test_augmix_train_step_learns():
     assert float(m["loss"]) < first  # memorizes the fixed batch
     assert float(m["js"]) >= 0.0
     assert int(state.step) == 12
+
+
+@pytest.mark.slow
+def test_ensemble_augmix_train_step():
+    import optax
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.train import TrainState, make_ensemble_train_step
+    from fav_tpu.models.uncertainty import init_ensemble
+
+    model = create_model(ModelParams(widths=(8, 16), dense_width=16))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (8, 32, 32, 3))
+    y = jax.random.randint(key, (8,), 0, 10)
+    stacked = init_ensemble(model, key, x[:1], 3)
+    tx = optax.adamw(1e-3)
+    states = TrainState(stacked, jax.vmap(tx.init)(stacked), jnp.zeros((3,), jnp.int32))
+    step = make_ensemble_train_step(model.apply, tx, augmix=True)
+    states, m = step(states, x, y, key)
+    assert m["loss"].shape == (3,)
+    assert bool(jnp.isfinite(m["loss"]).all())
+    # member-independent augmentation draws -> member losses differ
+    assert len({round(float(v), 6) for v in m["loss"]}) > 1
+    assert int(states.step[0]) == 1
