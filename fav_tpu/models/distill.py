@@ -59,7 +59,14 @@ def make_distill_step(apply_fn, tx, mc_samples: int, temperature: float = 1.0):
     return step
 
 
-def make_kd_step(student_apply, teacher_apply, tx, kd_temperature: float, hard_weight: float):
+def make_kd_step(
+    student_apply,
+    teacher_apply,
+    tx,
+    kd_temperature: float,
+    hard_weight: float,
+    augmix: bool = False,
+):
     """One jitted knowledge-distillation step from a stacked-params ensemble.
 
     Classic Hinton KD with an ensemble teacher: targets are the softmax of
@@ -69,20 +76,32 @@ def make_kd_step(student_apply, teacher_apply, tx, kd_temperature: float, hard_w
     hard-label CE term. Teacher forwards are a ``vmap`` over the member
     axis fused into the same program as the student update — on a mesh the
     member axis shards over ensemble devices (SURVEY.md §2.5).
+
+    ``augmix=True`` distills on [clean; AugMix(clean)] in one doubled batch
+    (fav_tpu/ops/augment.py): the student learns the teacher's soft labels
+    on the augmented manifold too, so robustness transfers — the hard-label
+    CE stays on the clean half only.
     """
 
     @jax.jit
-    def step(student_params, opt_state, stacked_teacher, images, labels):
-        member_logits = jax.vmap(lambda p: teacher_apply(p, images))(stacked_teacher)
+    def step(student_params, opt_state, stacked_teacher, images, labels, key):
+        b = images.shape[0]
+        if augmix:
+            from fav_tpu.ops.augment import augmix as _augmix
+
+            inp = jnp.concatenate([images, _augmix(key, images)], axis=0)
+        else:
+            inp = images
+        member_logits = jax.vmap(lambda p: teacher_apply(p, inp))(stacked_teacher)
         targets = jax.lax.stop_gradient(
             jax.nn.softmax(jnp.mean(member_logits, axis=0) / kd_temperature, axis=-1)
         )
 
         def loss_fn(p):
-            logits = student_apply(p, images)
+            logits = student_apply(p, inp)
             logp_soft = jax.nn.log_softmax(logits / kd_temperature, axis=-1)
             soft = -jnp.mean(jnp.sum(targets * logp_soft, axis=-1)) * kd_temperature**2
-            logp = jax.nn.log_softmax(logits, axis=-1)
+            logp = jax.nn.log_softmax(logits[:b], axis=-1)
             hard = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
             return soft + hard_weight * hard
 
@@ -106,6 +125,7 @@ def distill_ensemble(
     hard_weight: float = 0.3,
     seed: int = 0,
     log_every: int = 0,
+    augmix: bool = False,
 ) -> Any:
     """Distill a deep ensemble into a (typically *smaller*) student.
 
@@ -119,12 +139,16 @@ def distill_ensemble(
     student = student_model.init(jax.random.PRNGKey(seed + 3), sample)
     tx = optax.adamw(learning_rate)
     opt_state = tx.init(student)
-    step = make_kd_step(student_model.apply, teacher_apply, tx, kd_temperature, hard_weight)
+    step = make_kd_step(
+        student_model.apply, teacher_apply, tx, kd_temperature, hard_weight, augmix=augmix
+    )
     it = batch_iterator(images, labels, batch_size, seed=seed)
+    key = jax.random.PRNGKey(seed + 29)
     for i in range(num_steps):
         x, y = next(it)
+        key, sub = jax.random.split(key)
         student, opt_state, loss = step(
-            student, opt_state, stacked_teacher, jnp.asarray(x), jnp.asarray(y)
+            student, opt_state, stacked_teacher, jnp.asarray(x), jnp.asarray(y), sub
         )
         if log_every and (i + 1) % log_every == 0:
             print(f"kd step {i+1}: loss {float(loss):.4f}")

@@ -251,6 +251,7 @@ def _distill_ensemble(args) -> dict:
         ds.train_images, ds.train_labels,
         num_steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
         kd_temperature=args.kd_temperature, seed=args.seed, log_every=args.log_every,
+        augmix=args.augmix,
     )
 
     n_val = ds.test_images.shape[0] // 2
@@ -276,6 +277,7 @@ def _distill_ensemble(args) -> dict:
         "distilled_from": teacher_dir,
         "teacher_ensemble_size": size,
         "kd_temperature": args.kd_temperature,
+        **({"augmix_distill": True} if args.augmix else {}),
         "ensemble_size": None,
         "arch": s_mp.arch,
         "widths": list(s_mp.widths),
