@@ -37,6 +37,9 @@ def main(argv=None) -> dict:
     parser.add_argument("--mc-dropout", type=int, default=0,
                         help="evaluate the single-model checkpoint with N "
                              "MC-dropout replicas (logit-averaged)")
+    parser.add_argument("--per-cell", action="store_true",
+                        help="dispatch one program per grid cell instead of "
+                             "the fused whole-grid program (debugging aid)")
     args = parser.parse_args(argv)
 
     import jax
@@ -56,7 +59,7 @@ def main(argv=None) -> dict:
     from fav_tpu.models.train import train_classifier
     from fav_tpu.ops.corruptions import CORRUPTION_NAMES
     from fav_tpu.parallel.mesh import build_mesh
-    from fav_tpu.parallel.sweep import corruption_sweep, sharded_sweep
+    from fav_tpu.parallel.sweep import corruption_sweep, fused_sweep, sharded_sweep
     from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR, restore_checkpoint
 
     ds = load_cifar10()
@@ -126,10 +129,12 @@ def main(argv=None) -> dict:
     if jax.device_count() > 1 and n % jax.device_count() == 0:
         mesh = build_mesh((jax.device_count(), 1, 1))
         grid = sharded_sweep(mesh, apply_fn, params, images, labels, key,
-                             corruptions=names, temperature=temperature)
+                             corruptions=names, temperature=temperature,
+                             fused=not args.per_cell)
     else:
-        grid = corruption_sweep(apply_fn, params, images, labels, key,
-                                corruptions=names, temperature=temperature)
+        run = corruption_sweep if args.per_cell else fused_sweep
+        grid = run(apply_fn, params, images, labels, key,
+                   corruptions=names, temperature=temperature)
 
     # aggregate: mean over severities per corruption + overall. AUROC is only
     # defined where failures exist — zero-failure cells are excluded, not

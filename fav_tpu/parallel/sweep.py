@@ -28,7 +28,7 @@ from fav_tpu.models.calibration import aupr, auroc, failure_labels, fpr_at_95_tp
 from fav_tpu.models.uncertainty import anomaly_from_confidence
 from fav_tpu.ops.corruptions import CORRUPTION_NAMES, SEVERITIES, corruption_fn
 
-__all__ = ["corruption_sweep", "sharded_sweep", "sweep_cell"]
+__all__ = ["corruption_sweep", "fused_sweep", "sharded_sweep", "sweep_cell"]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 6))
@@ -50,6 +50,10 @@ def sweep_cell(
     """
     corrupted = corruption_fn(name)(key, images, severity)
     logits = apply_fn(params, corrupted)
+    return _cell_metrics(logits, labels, temperature)
+
+
+def _cell_metrics(logits, labels, temperature):
     probs = jax.nn.softmax(logits / temperature, axis=-1)
     conf = jnp.max(probs, axis=-1)
     preds = jnp.argmax(probs, axis=-1)
@@ -66,6 +70,47 @@ def sweep_cell(
         "fpr_at_95": fpr_at_95_tpr(1.0 - conf, fails),
         "mean_anomaly": jnp.mean(anomaly_from_confidence(conf)),
     }
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fused_grid(cells, apply_fn, params, images, labels, key, temperature):
+    """All (corruption, severity) cells in ONE XLA program. ``cells`` is a
+    static tuple of (name, severity); per-cell keys are ``fold_in(key, i)``."""
+    stacked: dict[str, list] = {}
+    for i, (name, sev) in enumerate(cells):
+        k = jax.random.fold_in(key, i)
+        corrupted = corruption_fn(name)(k, images, sev)
+        logits = apply_fn(params, corrupted)
+        for m, v in _cell_metrics(logits, labels, temperature).items():
+            stacked.setdefault(m, []).append(v)
+    return {m: jnp.stack(vs) for m, vs in stacked.items()}
+
+
+def fused_sweep(
+    apply_fn: Callable,
+    params: Any,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    corruptions: Sequence[str] = CORRUPTION_NAMES,
+    severities: Sequence[int] = SEVERITIES,
+    temperature: jax.Array | float = 1.0,
+) -> dict[str, dict[int, dict[str, float]]]:
+    """Full grid as ONE compiled program + ONE dispatch.
+
+    The per-cell path pays ~10 ms dispatch plus a host scalar fetch per
+    metric per cell over the TPU tunnel — at 75 cells that dominates the
+    wall clock (the same lesson as bench.py's megastep). Fusing brings a
+    full-grid evaluation from ~25 min to the compute cost of 75 batched
+    forwards. Works unchanged on sharded inputs (metrics are scalar psums).
+    """
+    cells = tuple((str(n), int(s)) for n in corruptions for s in severities)
+    out = _fused_grid(cells, apply_fn, params, images, labels, key, temperature)
+    host = {m: v.tolist() for m, v in jax.device_get(out).items()}  # one D2H
+    results: dict[str, dict[int, dict[str, float]]] = {}
+    for i, (name, sev) in enumerate(cells):
+        results.setdefault(name, {})[sev] = {m: host[m][i] for m in host}
+    return results
 
 
 def corruption_sweep(
@@ -101,10 +146,12 @@ def sharded_sweep(
     corruptions: Sequence[str] = CORRUPTION_NAMES,
     severities: Sequence[int] = SEVERITIES,
     temperature: jax.Array | float = 1.0,
+    fused: bool = False,
 ) -> dict[str, dict[int, dict[str, float]]]:
     """Same grid with images/labels sharded over the mesh's data axis and
     params replicated. The per-cell jitted program is unchanged — XLA inserts
     the ICI collectives for the scalar reductions (SURVEY.md §5.8).
+    ``fused=True`` runs the whole grid as one program (:func:`fused_sweep`).
 
     On a multi-slice mesh (built by :func:`fav_tpu.parallel.mesh.
     build_multislice_mesh`, axes ``(dcn, data, ensemble, model)``) the batch
@@ -120,6 +167,5 @@ def sharded_sweep(
     images = jax.device_put(images, img_sh)
     labels = jax.device_put(labels, lbl_sh)
     params = jax.device_put(params, rep)
-    return corruption_sweep(
-        apply_fn, params, images, labels, key, corruptions, severities, temperature
-    )
+    run = fused_sweep if fused else corruption_sweep
+    return run(apply_fn, params, images, labels, key, corruptions, severities, temperature)

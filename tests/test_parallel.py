@@ -105,6 +105,46 @@ def test_sharded_sweep_matches_unsharded(model_and_params):
                 assert ref[n][s][metric] == pytest.approx(got[n][s][metric], abs=3e-5), (n, s, metric)
 
 
+def test_fused_sweep_matches_per_cell(model_and_params):
+    """The one-program grid (fused_sweep) must reproduce the per-cell path
+    cell-for-cell: same corruption draws (fold_in by cell index), same
+    metric math — only the dispatch granularity differs."""
+    from fav_tpu.parallel.sweep import fused_sweep, sweep_cell
+
+    model, params = model_and_params
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=1)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    names = ("gaussian_noise", "contrast", "pixelate")
+    sevs = (1, 4)
+    key = jax.random.PRNGKey(13)
+    got = fused_sweep(model.apply, params, x, y, key, names, sevs, temperature=1.7)
+    cells = [(n, s) for n in names for s in sevs]
+    for i, (n, s) in enumerate(cells):
+        ref = sweep_cell(
+            n, model.apply, params, x, y, jax.random.fold_in(key, i), s, 1.7
+        )
+        for metric in ("accuracy", "mean_confidence", "auroc", "aupr", "fpr_at_95"):
+            assert float(ref[metric]) == pytest.approx(got[n][s][metric], abs=3e-5), (n, s, metric)
+
+
+def test_fused_sweep_sharded_matches(model_and_params):
+    """fused=True through sharded_sweep equals the unsharded fused grid."""
+    from fav_tpu.parallel.sweep import fused_sweep
+
+    model, params = model_and_params
+    mesh = build_mesh((8, 1, 1))
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=3)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    names, sevs = ("impulse_noise", "brightness"), (2, 5)
+    key = jax.random.PRNGKey(17)
+    ref = fused_sweep(model.apply, params, x, y, key, names, sevs)
+    got = sharded_sweep(mesh, model.apply, params, x, y, key, names, sevs, fused=True)
+    for n in names:
+        for s in sevs:
+            for metric in ("accuracy", "mean_confidence", "auroc"):
+                assert ref[n][s][metric] == pytest.approx(got[n][s][metric], abs=3e-5), (n, s, metric)
+
+
 def test_multislice_dcn_sweep_matches_unsharded(model_and_params):
     """Multi-slice scale-out (SURVEY.md §2.5/§5.8 stretch): a 2-slice x
     (2,2,1) virtual topology with the explicit dcn axis must reproduce the
