@@ -333,6 +333,9 @@ def main(argv=None) -> dict:
                              "Jensen-Shannon consistency loss")
     parser.add_argument("--js-lam", type=float, default=12.0,
                         help="JS consistency weight for --augmix")
+    parser.add_argument("--sam", type=float, default=0.0, metavar="RHO",
+                        help="sharpness-aware minimization radius on top of "
+                             "--augmix (0 = off; try 0.05)")
     args = parser.parse_args(argv)
 
     if args.autoencoder:
@@ -374,7 +377,7 @@ def main(argv=None) -> dict:
         params, _ = train_classifier(
             model, ds, num_steps=args.steps, batch_size=args.batch,
             learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
-            augmix=args.augmix, js_lam=args.js_lam,
+            augmix=args.augmix, js_lam=args.js_lam, sam_rho=args.sam,
         )
 
     # held-out split: half for temperature fitting, half for reporting
@@ -420,6 +423,7 @@ def main(argv=None) -> dict:
         "train_steps": args.steps,
         "ensemble_size": args.ensemble or None,
         **({"augmix": True, "js_lam": args.js_lam} if args.augmix else {}),
+        **({"sam_rho": args.sam} if args.sam else {}),
         # serving rebuilds the exact architecture from these — a template
         # mismatch must be impossible, not silently tolerated
         "arch": mp.arch,

@@ -28,6 +28,7 @@ __all__ = [
     "classifier_train_step",
     "classifier_eval_step",
     "augmix_train_step",
+    "sam_augmix_train_step",
     "autoencoder_train_step",
     "make_ensemble_train_step",
     "train_classifier",
@@ -106,6 +107,53 @@ def augmix_train_step(
 
     (loss, (acc, ce, js)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), {
+        "loss": loss,
+        "accuracy": acc,
+        "ce": ce,
+        "js": js,
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def sam_augmix_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    js_lam: jax.Array,
+    rho: jax.Array,
+) -> tuple[TrainState, dict]:
+    """Sharpness-aware minimization (Foret et al., ICLR 2021) on top of the
+    AugMix objective: ascend ``rho`` along the normalized gradient to the
+    worst nearby weights, take the real update from the gradient *there*.
+    Two backward passes through the same compiled program — flat minima are
+    the complementary robustness lever to input-space augmentation."""
+    from fav_tpu.ops.augment import augmix, js_consistency
+
+    k1, k2, kd = jax.random.split(key, 3)
+    aug1 = augmix(k1, images)
+    aug2 = augmix(k2, images)
+    trio = jnp.concatenate([images, aug1, aug2], axis=0)
+    b = images.shape[0]
+
+    def loss_fn(p):
+        logits = apply_fn(p, trio, train=True, rngs={"dropout": kd})
+        lc, la, lb = logits[:b], logits[b : 2 * b], logits[2 * b :]
+        ce = optax.softmax_cross_entropy_with_integer_labels(lc, labels).mean()
+        js = js_consistency(lc, la, lb)
+        acc = jnp.mean(jnp.argmax(lc, -1) == labels)
+        return ce + js_lam * js, (acc, ce, js)
+
+    (_, _), grads1 = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    gnorm = optax.global_norm(grads1)
+    scale = rho / jnp.maximum(gnorm, 1e-12)
+    adv = jax.tree.map(lambda p, g: p + scale * g, state.params, grads1)
+    (loss, (acc, ce, js)), grads2 = jax.value_and_grad(loss_fn, has_aux=True)(adv)
+    updates, opt_state = tx.update(grads2, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), {
         "loss": loss,
@@ -204,11 +252,13 @@ def train_classifier(
     log_every: int = 0,
     augmix: bool = False,
     js_lam: float = 12.0,
+    sam_rho: float = 0.0,
 ) -> tuple[Any, dict]:
     """Convenience host loop: train the CNN, return (params, final metrics).
 
     ``augmix=True`` switches to the AugMix consistency objective
-    (``augmix_train_step``) for corruption-robust training."""
+    (``augmix_train_step``) for corruption-robust training; ``sam_rho > 0``
+    additionally turns on sharpness-aware minimization (requires augmix)."""
     from fav_tpu.data.cifar import batch_iterator
 
     key = jax.random.PRNGKey(seed)
@@ -220,10 +270,16 @@ def train_classifier(
     it = batch_iterator(dataset.train_images, dataset.train_labels, batch_size, seed=seed)
     metrics = {}
     lam = jnp.float32(js_lam)
+    rho = jnp.float32(sam_rho)
     for i in range(num_steps):
         images, labels = next(it)
         key, step_key = jax.random.split(key)
-        if augmix:
+        if augmix and sam_rho > 0:
+            state, metrics = sam_augmix_train_step(
+                model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels),
+                step_key, lam, rho,
+            )
+        elif augmix:
             state, metrics = augmix_train_step(
                 model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), step_key, lam
             )

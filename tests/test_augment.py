@@ -136,3 +136,30 @@ def test_ensemble_augmix_train_step():
     # member-independent augmentation draws -> member losses differ
     assert len({round(float(v), 6) for v in m["loss"]}) > 1
     assert int(states.step[0]) == 1
+
+
+@pytest.mark.slow
+def test_sam_augmix_train_step():
+    import optax
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.train import create_train_state, sam_augmix_train_step
+
+    model = create_model(ModelParams(widths=(8, 16), dense_width=16))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (8, 32, 32, 3))
+    y = jax.random.randint(key, (8,), 0, 10)
+    params = model.init(key, x[:1])
+    state, tx = create_train_state(params)
+    lam, rho = jnp.float32(12.0), jnp.float32(0.05)
+    first = None
+    for i in range(8):
+        state, m = sam_augmix_train_step(
+            model.apply, tx, state, x, y, jax.random.fold_in(key, i), lam, rho
+        )
+        if first is None:
+            first = float(m["loss"])
+    assert bool(jnp.isfinite(m["loss"]))
+    assert float(m["loss"]) < first
+    assert int(state.step) == 8
