@@ -33,6 +33,8 @@ __all__ = [
     "shot_noise_pallas",
     "brightness_pallas",
     "contrast_pallas",
+    "glass_blur_pallas",
+    "glass_resample_pallas",
     "corrupt_normalize_pallas",
     "fast_corruption_fn",
     "GAUSSIAN_SIGMA",
@@ -236,6 +238,105 @@ def contrast_pallas(seed, x, severity: int = 3, interpret: bool = False):
     return _grid_call(k, x, seed, interpret)
 
 
+# glass_blur severity table — MUST match corruptions.glass_blur
+GLASS_PARAMS = ((0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2))
+
+_GLASS_BLOCK = 32  # images per grid step, planar (nb, C, H, W) blocks
+
+
+def _shift1(x, d, axis):
+    """Edge-clamped static shift along ``axis``: out[..., i, ...] =
+    x[..., clamp(i + d), ...] — concat of a slice and a broadcast edge
+    slab; no gathers, no pads."""
+    if d == 0:
+        return x
+    n = x.shape[axis]
+
+    def sl(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(lo, hi)
+        return x[tuple(idx)]
+
+    shape = list(x.shape)
+    shape[axis] = abs(d)
+    if d > 0:
+        return jnp.concatenate([sl(d, n), jnp.broadcast_to(sl(n - 1, n), shape)], axis=axis)
+    return jnp.concatenate([jnp.broadcast_to(sl(0, 1), shape), sl(0, n + d)], axis=axis)
+
+
+def _resample_axis(x, u, m, axis):
+    """Random local resample along one spatial axis: each pixel pulls from a
+    uniform offset in [-m, m] (edge-clamped), as a (2m+1)-way masked select.
+    ``u`` is a per-pixel uniform shared across channels (broadcasts over the
+    channel dim)."""
+    k = 2 * m + 1
+    code = jnp.minimum(jnp.floor(u * k), float(k - 1))
+    acc = jnp.zeros_like(x)
+    for t, d in enumerate(range(-m, m + 1)):
+        acc = jnp.where(code == float(t), _shift1(x, d, axis), acc)
+    return acc
+
+
+def _glass_kernel(seed_ref, x_ref, out_ref, *, m, iters):
+    """Iterated random neighbor displacement for glass_blur, in VMEM.
+
+    The jnp oracle (corruptions._local_resample) materializes a (B, H, W, 2)
+    randint field in HBM and runs (2m+1)^2 shifted-window selects per
+    iteration; here the displacement comes from the hardware PRNG in-kernel
+    and the select is separable — a row pass then a column pass, 2(2m+1)
+    selects total. Each output pixel still gets an independent uniform
+    (dy, dx) pair (the marginal law matches the oracle; outputs whose column
+    draws collide share a row draw — a second-order coupling the
+    "statistically equal" contract of this module's PRNG kernels covers).
+    Channels move together: one per-pixel draw broadcasts over the channel
+    dim of the planar (nb, C, H, W) block."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:]
+    nb, c, h, w = x.shape
+    for _ in range(iters):
+        uy = _uniform01((nb, 1, h, w))
+        x = _resample_axis(x, uy, m, axis=2)
+        ux = _uniform01((nb, 1, h, w))
+        x = _resample_axis(x, ux, m, axis=3)
+    out_ref[:] = x
+
+
+def glass_resample_pallas(seed, x, max_delta: int, iters: int, interpret: bool = False):
+    """Pallas iterated local resample on a [B, H, W, C] batch (planar blocks)."""
+    b, h, w, c = x.shape
+    block = _GLASS_BLOCK
+    while block > 1 and b % block:
+        block //= 2
+    xp = x.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, C, H, W)
+    kernel = functools.partial(_glass_kernel, m=int(max_delta), iters=int(iters))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)), xp)
+    return out.transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
+def glass_blur_pallas(seed, x, severity: int = 3, interpret: bool = False):
+    """glass_blur with the resample iterations as a Pallas kernel (oracle:
+    corruptions.glass_blur). The two Gaussian blurs stay XLA separable convs
+    — that is the MXU-correct tool; Pallas replaces only the PRNG-driven
+    select cascade XLA lowers badly (HBM randint field + 75 masked windows)."""
+    sigma, m, iters = GLASS_PARAMS[severity - 1]
+    from fav_tpu.ops.image import gaussian_blur
+
+    y = gaussian_blur(x.astype(jnp.float32), sigma)
+    y = glass_resample_pallas(seed, y, m, iters, interpret)
+    return jnp.clip(gaussian_blur(y, sigma), 0.0, 1.0)
+
+
 def _key_to_seed(key):
     """Fold a jax PRNG key (typed or raw uint32) into the int32 seed the
     hardware PRNG takes."""
@@ -262,6 +363,8 @@ def fast_corruption_fn(name: str):
         return lambda key, x, severity: brightness_pallas(_key_to_seed(key), x, severity)
     if name == "contrast":
         return lambda key, x, severity: contrast_pallas(_key_to_seed(key), x, severity)
+    if name == "glass_blur":
+        return lambda key, x, severity: glass_blur_pallas(_key_to_seed(key), x, severity)
     # Remaining families (blur, weather textures, elastic/pixelate/jpeg) are
     # conv-, resize- and DCT-shaped: XLA lowers them onto the MXU directly
     # (measured <=10 ms per 2048-batch cell, BENCH.md) and a hand Pallas

@@ -195,3 +195,46 @@ def test_fast_corruption_fn_shot_routing():
     x = jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3), jnp.float32)
     # interpret-mode-free call would hit Mosaic on CPU; just check dispatch
     assert fn is not corruption_fn("shot_noise")
+
+
+def test_glass_resample_pallas_deterministic_interpret():
+    """Interpret mode stubs the PRNG to zeros -> every pass picks offset -m;
+    the kernel must then equal an exact edge-clamped (-m, -m) shift chain
+    (pins the shift/clamp/select data path; the PRNG statistics are TPU-only
+    and recorded in BENCH.md)."""
+    from fav_tpu.ops.corruptions_pallas import glass_resample_pallas
+
+    x = jax.random.uniform(jax.random.PRNGKey(5), (8, 32, 32, 3), jnp.float32)
+    m, iters = 2, 3
+    out = glass_resample_pallas(jnp.int32(5), x, m, iters, interpret=True)
+    exp = x
+    for _ in range(iters):
+        for axis in (1, 2):  # row pass then column pass, offset -m each
+            pad = [(0, 0)] * 4
+            pad[axis] = (m, 0)
+            ep = jnp.pad(exp, pad, mode="edge")
+            sl = [slice(None)] * 4
+            sl[axis] = slice(0, 32)
+            exp = ep[tuple(sl)]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), atol=1e-6)
+
+
+def test_glass_blur_pallas_interpret_and_table():
+    """glass_blur_pallas = XLA blur -> Pallas resample -> XLA blur + clip;
+    with the stubbed PRNG the result is the deterministic shift between the
+    oracle's own blurs. Severity table must match the oracle's."""
+    from fav_tpu.ops.corruptions import glass_blur as _oracle  # noqa: F401
+    from fav_tpu.ops.corruptions_pallas import GLASS_PARAMS, glass_blur_pallas
+
+    assert GLASS_PARAMS == ((0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2))
+    x = jax.random.uniform(jax.random.PRNGKey(6), (4, 32, 32, 3), jnp.float32)
+    y = glass_blur_pallas(jnp.int32(9), x, 3, interpret=True)
+    assert y.shape == x.shape
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_fast_corruption_fn_glass_routing():
+    from fav_tpu.ops.corruptions_pallas import fast_corruption_fn
+
+    assert fast_corruption_fn("glass_blur") is not corruption_fn("glass_blur")
