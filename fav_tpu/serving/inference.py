@@ -122,14 +122,7 @@ class InferenceService:
                 params = model.init(jax.random.PRNGKey(0), sample)
         self.source = "random_init"
 
-        ckpt_dir = self._checkpoint_dir
-        if ckpt_dir is None:
-            from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
-
-            name = {"ensemble": "ensemble", "autoencoder": "autoencoder"}.get(
-                self.uncertainty, "classifier"
-            )
-            ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, name)
+        ckpt_dir = self._resolve_ckpt_dir()
         if os.path.isdir(ckpt_dir):
             try:
                 from fav_tpu.utils.checkpoint import restore_checkpoint
@@ -217,19 +210,35 @@ class InferenceService:
         self._forward = forward
         self._params = params
 
+    def _resolve_ckpt_dir(self) -> str:
+        """Default checkpoint dir per uncertainty mode.
+
+        ``msp`` serves the ensemble-distilled compact student — the
+        deployment shape bench.py measures: better grid accuracy AND failure
+        AUROC than the full-width classifier at ~1/4 the forward FLOPs
+        (BENCH.md Quality) — falling back to the classifier checkpoint when
+        no student is shipped. ``mc_dropout`` needs a dropout-trained model,
+        so it stays on the classifier."""
+        if self._checkpoint_dir is not None:
+            return self._checkpoint_dir
+        from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
+
+        name = {
+            "ensemble": "ensemble",
+            "autoencoder": "autoencoder",
+            "msp": "student_compact",
+        }.get(self.uncertainty, "classifier")
+        ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, name)
+        if name == "student_compact" and not os.path.isdir(ckpt_dir):
+            ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, "classifier")
+        return ckpt_dir
+
     def _peek_metadata(self) -> dict:
         """Read checkpoint metadata without loading params (architecture
         selection must precede template construction)."""
         import json
 
-        ckpt_dir = self._checkpoint_dir
-        if ckpt_dir is None:
-            from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
-
-            name = {"ensemble": "ensemble", "autoencoder": "autoencoder"}.get(
-                self.uncertainty, "classifier"
-            )
-            ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, name)
+        ckpt_dir = self._resolve_ckpt_dir()
         meta_path = os.path.join(ckpt_dir, "metadata.json")
         if os.path.isfile(meta_path):
             try:

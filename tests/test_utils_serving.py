@@ -512,3 +512,28 @@ def test_serving_committed_compact_student():
     assert service.source.startswith("checkpoint:"), service.info()
     assert "error" not in service.info()
     assert 0.0 <= res["confidence"] <= 1.0
+
+
+@pytest.mark.slow
+def test_msp_serves_compact_student_by_default():
+    """The default msp deployment serves the AugMix-KD compact student
+    checkpoint (BENCH.md Quality: better grid acc AND AUROC than the
+    full-width classifier at ~1/4 the FLOPs); mc_dropout stays on the
+    dropout-trained classifier."""
+    from fav_tpu.config import ModelParams
+    from fav_tpu.serving.inference import InferenceService
+
+    svc = InferenceService(ModelParams())
+    assert svc._resolve_ckpt_dir().endswith("student_compact")
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await svc.score_frame(frame)
+        await svc.close()
+        return res
+
+    asyncio.run(run())
+    assert svc.info()["source"].endswith("student_compact")
+
+    mc = InferenceService(ModelParams(), uncertainty="mc_dropout")
+    assert mc._resolve_ckpt_dir().endswith("classifier")
