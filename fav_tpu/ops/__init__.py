@@ -14,8 +14,10 @@ from fav_tpu.ops.corruptions import (  # noqa: F401
 )
 from fav_tpu.ops.corruptions_pallas import (  # noqa: F401
     corrupt_normalize_pallas,
+    elastic_transform_pallas,
     fast_corruption_fn,
     gaussian_noise_pallas,
+    glass_blur_pallas,
     impulse_noise_pallas,
 )
 from fav_tpu.ops.signal_pallas import analyze_frames_pallas, frame_stats_pallas  # noqa: F401
