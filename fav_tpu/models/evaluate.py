@@ -126,15 +126,25 @@ def main(argv=None) -> dict:
     names = tuple(c for c in args.corruptions.split(",") if c) or CORRUPTION_NAMES
 
     key = jax.random.PRNGKey(42)
+    # multi-forward scorers (M members / K replicas) blow the HBM liveness
+    # budget in a single 75-cell program — bound the chunk size by the
+    # forwards-per-cell multiplier (fused_sweep docstring)
+    multi = max(args.ensemble, args.mc_dropout, 1)
+    cells_per_call = 0 if multi <= 1 else max(1, 25 // multi)
     if jax.device_count() > 1 and n % jax.device_count() == 0:
         mesh = build_mesh((jax.device_count(), 1, 1))
         grid = sharded_sweep(mesh, apply_fn, params, images, labels, key,
                              corruptions=names, temperature=temperature,
-                             fused=not args.per_cell)
+                             fused=not args.per_cell,
+                             cells_per_call=cells_per_call)
     else:
-        run = corruption_sweep if args.per_cell else fused_sweep
-        grid = run(apply_fn, params, images, labels, key,
-                   corruptions=names, temperature=temperature)
+        if args.per_cell:
+            grid = corruption_sweep(apply_fn, params, images, labels, key,
+                                    corruptions=names, temperature=temperature)
+        else:
+            grid = fused_sweep(apply_fn, params, images, labels, key,
+                               corruptions=names, temperature=temperature,
+                               cells_per_call=cells_per_call)
 
     # aggregate: mean over severities per corruption + overall. AUROC is only
     # defined where failures exist — zero-failure cells are excluded, not

@@ -62,8 +62,10 @@ def _train_ensemble(model, ds, args):
             return jax.device_put(a, data_sh if a.ndim == 4 else lbl_sh)
 
     step = make_ensemble_train_step(
-        model.apply, tx, augmix=getattr(args, "augmix", False),
+        model.apply, tx,
+        augmix=getattr(args, "augmix", False) or getattr(args, "augmix_ce", False),
         js_lam=getattr(args, "js_lam", 12.0),
+        augmix_mode="ce" if getattr(args, "augmix_ce", False) else "js",
     )
     it = batch_iterator(ds.train_images, ds.train_labels, args.batch, seed=args.seed)
     key = jax.random.PRNGKey(args.seed + 1)
@@ -333,6 +335,10 @@ def main(argv=None) -> dict:
                              "Jensen-Shannon consistency loss")
     parser.add_argument("--js-lam", type=float, default=12.0,
                         help="JS consistency weight for --augmix")
+    parser.add_argument("--augmix-ce", action="store_true",
+                        help="ensemble variant: plain CE on [clean; AugMix] "
+                             "views, NO consistency term (keeps member "
+                             "diversity the JS objective erodes)")
     parser.add_argument("--sam", type=float, default=0.0, metavar="RHO",
                         help="sharpness-aware minimization radius on top of "
                              "--augmix (0 = off; try 0.05)")
@@ -423,6 +429,7 @@ def main(argv=None) -> dict:
         "train_steps": args.steps,
         "ensemble_size": args.ensemble or None,
         **({"augmix": True, "js_lam": args.js_lam} if args.augmix else {}),
+        **({"augmix_ce": True} if args.augmix_ce else {}),
         **({"sam_rho": args.sam} if args.sam else {}),
         # serving rebuilds the exact architecture from these — a template
         # mismatch must be impossible, not silently tolerated

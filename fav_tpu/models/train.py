@@ -195,18 +195,32 @@ def make_ensemble_train_step(
     tx: optax.GradientTransformation,
     augmix: bool = False,
     js_lam: float = 12.0,
+    augmix_mode: str = "js",
 ):
     """Train-step over stacked ensemble params: vmap of the single-member
     update. Each member sees the same batch but independent dropout keys
     (bagging comes from independent inits — the standard deep-ensembles
     recipe). The member axis is shardable over the mesh.
 
-    ``augmix=True`` switches each member to the AugMix consistency
-    objective with member-independent augmentation draws — extra predictive
-    diversity on top of independent inits."""
+    ``augmix=True`` switches each member to AugMix training with
+    member-independent augmentation draws. ``augmix_mode='js'`` is the
+    canonical consistency objective; ``'ce'`` trains plain CE on
+    [clean; augmented] views instead — no consistency term, so members
+    are NOT pulled toward the same invariant predictive and the
+    ensemble's diversity advantage is preserved (the JS term measurably
+    correlates members, BENCH.md Quality)."""
 
     def member_step(state: TrainState, images, labels, key):
-        if augmix:
+        if augmix and augmix_mode == "ce":
+            from fav_tpu.ops.augment import augmix as _augmix
+
+            k1, kd = jax.random.split(key)
+            both = jnp.concatenate([images, _augmix(k1, images)], axis=0)
+            both_labels = jnp.concatenate([labels, labels], axis=0)
+            (loss, acc), grads = jax.value_and_grad(
+                lambda p: _ce_loss(apply_fn, p, both, both_labels, kd), has_aux=True
+            )(state.params)
+        elif augmix:
             from fav_tpu.ops.augment import augmix as _augmix
             from fav_tpu.ops.augment import js_consistency
 

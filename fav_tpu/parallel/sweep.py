@@ -72,13 +72,15 @@ def _cell_metrics(logits, labels, temperature):
     }
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _fused_grid(cells, apply_fn, params, images, labels, key, temperature):
-    """All (corruption, severity) cells in ONE XLA program. ``cells`` is a
-    static tuple of (name, severity); per-cell keys are ``fold_in(key, i)``."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 7))
+def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base):
+    """A chunk of (corruption, severity) cells in ONE XLA program. ``cells``
+    is a static tuple of (name, severity); per-cell keys are
+    ``fold_in(key, base + i)`` — absolute grid index, so chunking never
+    changes any cell's corruption draw."""
     stacked: dict[str, list] = {}
     for i, (name, sev) in enumerate(cells):
-        k = jax.random.fold_in(key, i)
+        k = jax.random.fold_in(key, base + i)
         corrupted = corruption_fn(name)(k, images, sev)
         logits = apply_fn(params, corrupted)
         for m, v in _cell_metrics(logits, labels, temperature).items():
@@ -95,18 +97,32 @@ def fused_sweep(
     corruptions: Sequence[str] = CORRUPTION_NAMES,
     severities: Sequence[int] = SEVERITIES,
     temperature: jax.Array | float = 1.0,
+    cells_per_call: int = 0,
 ) -> dict[str, dict[int, dict[str, float]]]:
-    """Full grid as ONE compiled program + ONE dispatch.
+    """Full grid as ONE compiled program + ONE dispatch (or a few, chunked).
 
     The per-cell path pays ~10 ms dispatch plus a host scalar fetch per
     metric per cell over the TPU tunnel — at 75 cells that dominates the
     wall clock (the same lesson as bench.py's megastep). Fusing brings a
     full-grid evaluation from ~25 min to the compute cost of 75 batched
     forwards. Works unchanged on sharded inputs (metrics are scalar psums).
+
+    ``cells_per_call`` bounds the program size: multi-forward scorers
+    (M-member ensembles, K-replica MC-dropout) at 2048 images blow the HBM
+    liveness budget in a single 75-cell program (measured: 43 GB demanded
+    of 15.75 GB for a 5-member ensemble). 0 = all cells in one program.
+    Chunking never changes results — cell keys fold in the absolute index.
     """
     cells = tuple((str(n), int(s)) for n in corruptions for s in severities)
-    out = _fused_grid(cells, apply_fn, params, images, labels, key, temperature)
-    host = {m: v.tolist() for m, v in jax.device_get(out).items()}  # one D2H
+    step = cells_per_call or len(cells)
+    host: dict[str, list] = {}
+    for start in range(0, len(cells), step):
+        chunk = cells[start : start + step]
+        out = _fused_grid(
+            chunk, apply_fn, params, images, labels, key, temperature, start
+        )
+        for m, v in jax.device_get(out).items():  # one D2H per chunk
+            host.setdefault(m, []).extend(v.tolist())
     results: dict[str, dict[int, dict[str, float]]] = {}
     for i, (name, sev) in enumerate(cells):
         results.setdefault(name, {})[sev] = {m: host[m][i] for m in host}
@@ -147,6 +163,7 @@ def sharded_sweep(
     severities: Sequence[int] = SEVERITIES,
     temperature: jax.Array | float = 1.0,
     fused: bool = False,
+    cells_per_call: int = 0,
 ) -> dict[str, dict[int, dict[str, float]]]:
     """Same grid with images/labels sharded over the mesh's data axis and
     params replicated. The per-cell jitted program is unchanged — XLA inserts
@@ -167,5 +184,11 @@ def sharded_sweep(
     images = jax.device_put(images, img_sh)
     labels = jax.device_put(labels, lbl_sh)
     params = jax.device_put(params, rep)
-    run = fused_sweep if fused else corruption_sweep
-    return run(apply_fn, params, images, labels, key, corruptions, severities, temperature)
+    if fused:
+        return fused_sweep(
+            apply_fn, params, images, labels, key, corruptions, severities,
+            temperature, cells_per_call,
+        )
+    return corruption_sweep(
+        apply_fn, params, images, labels, key, corruptions, severities, temperature
+    )

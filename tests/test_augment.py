@@ -163,3 +163,25 @@ def test_sam_augmix_train_step():
     assert bool(jnp.isfinite(m["loss"]))
     assert float(m["loss"]) < first
     assert int(state.step) == 8
+
+
+@pytest.mark.slow
+def test_ensemble_augmix_ce_mode():
+    import optax
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.train import TrainState, make_ensemble_train_step
+    from fav_tpu.models.uncertainty import init_ensemble
+
+    model = create_model(ModelParams(widths=(8, 16), dense_width=16))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (8, 32, 32, 3))
+    y = jax.random.randint(key, (8,), 0, 10)
+    stacked = init_ensemble(model, key, x[:1], 2)
+    tx = optax.adamw(1e-3)
+    states = TrainState(stacked, jax.vmap(tx.init)(stacked), jnp.zeros((2,), jnp.int32))
+    step = make_ensemble_train_step(model.apply, tx, augmix=True, augmix_mode="ce")
+    states, m = step(states, x, y, key)
+    assert m["loss"].shape == (2,) and bool(jnp.isfinite(m["loss"]).all())
+    assert len({round(float(v), 6) for v in m["loss"]}) > 1  # member-independent draws

@@ -127,6 +127,25 @@ def test_fused_sweep_matches_per_cell(model_and_params):
             assert float(ref[metric]) == pytest.approx(got[n][s][metric], abs=3e-5), (n, s, metric)
 
 
+def test_fused_sweep_chunking_invariant(model_and_params):
+    """cells_per_call must not change any cell's result — per-cell keys fold
+    in the absolute grid index (the HBM-bounded chunked path for
+    multi-forward scorers has to score identically to one big program)."""
+    from fav_tpu.parallel.sweep import fused_sweep
+
+    model, params = model_and_params
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=5)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    names, sevs = ("gaussian_noise", "fog", "pixelate"), (2, 5)
+    key = jax.random.PRNGKey(23)
+    one = fused_sweep(model.apply, params, x, y, key, names, sevs)
+    chunked = fused_sweep(model.apply, params, x, y, key, names, sevs, cells_per_call=2)
+    for n in names:
+        for s in sevs:
+            for metric in ("accuracy", "mean_confidence", "auroc"):
+                assert one[n][s][metric] == pytest.approx(chunked[n][s][metric], abs=1e-7), (n, s)
+
+
 def test_fused_sweep_sharded_matches(model_and_params):
     """fused=True through sharded_sweep equals the unsharded fused grid."""
     from fav_tpu.parallel.sweep import fused_sweep
