@@ -58,7 +58,7 @@ def _find_cifar_dir(root: str | None) -> str | None:
         tgz = os.path.join(c or ".", "cifar-10-python.tar.gz")
         if c and os.path.isfile(tgz):
             with tarfile.open(tgz) as tf:
-                tf.extractall(os.path.dirname(tgz))
+                tf.extractall(os.path.dirname(tgz), filter="data")
             out = os.path.join(os.path.dirname(tgz), CIFAR_DIRNAME)
             if os.path.isfile(os.path.join(out, "data_batch_1")):
                 return out

@@ -178,18 +178,25 @@ def fpr_at_95_tpr(scores: jax.Array, labels: jax.Array) -> jax.Array:
     The standard OOD/failure-detection companion to AUROC: of the frames the
     detector must pass to catch 95% of true failures, how many clean frames
     are wrongly flagged. Lower is better.
+
+    Only tie-block *ends* are valid operating points — a real threshold
+    admits every sample sharing a score or none (same grouping as
+    ``sklearn.metrics.roc_curve``), so interior indices of a tie block are
+    masked out before the first-reach search.
     """
     s = scores.reshape(-1).astype(jnp.float64)
     y = labels.reshape(-1).astype(jnp.float64)
     order = jnp.argsort(-s)
+    s_sorted = s[order]
     y_sorted = y[order]
     tp = jnp.cumsum(y_sorted)
     fp = jnp.cumsum(1.0 - y_sorted)
     n_pos = jnp.sum(y_sorted)
     n_neg = jnp.maximum(s.shape[0] - n_pos, 1.0)
     tpr = tp / jnp.maximum(n_pos, 1.0)
-    reached = tpr >= 0.95
-    idx = jnp.argmax(reached)  # first index where TPR >= 0.95
+    is_block_end = jnp.concatenate([s_sorted[1:] != s_sorted[:-1], jnp.array([True])])
+    reached = (tpr >= 0.95) & is_block_end  # first realizable TPR >= 0.95
+    idx = jnp.argmax(reached)
     return jnp.where(jnp.any(reached), fp[idx] / n_neg, 1.0)
 
 

@@ -154,6 +154,10 @@ def main(argv=None) -> dict:
         out = {
             "accuracy": round(sum(c["accuracy"] for c in cells.values()) / len(cells), 4),
             "auroc": None,
+            # calibration under shift: mean per-cell ECE/Brier across the
+            # severity column — does the clean-fit temperature survive?
+            "ece": round(sum(c["ece"] for c in cells.values()) / len(cells), 4),
+            "brier": round(sum(c["brier"] for c in cells.values()) / len(cells), 4),
             "mean_anomaly": round(sum(c["mean_anomaly"] for c in cells.values()) / len(cells), 4),
         }
         if with_fail:
@@ -176,6 +180,8 @@ def main(argv=None) -> dict:
         "mean_failure_auroc": overall_mean("auroc"),
         "mean_failure_aupr": overall_mean("aupr"),
         "mean_fpr_at_95": overall_mean("fpr_at_95"),
+        "mean_ece": overall_mean("ece"),
+        "mean_brier": overall_mean("brier"),
         "devices": jax.device_count(),
         "data_source": ds.source,
     }

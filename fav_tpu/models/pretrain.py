@@ -344,6 +344,12 @@ def main(argv=None) -> dict:
                              "--augmix (0 = off; try 0.05)")
     args = parser.parse_args(argv)
 
+    if args.augmix_ce and not args.ensemble:
+        # --augmix-ce is an ensemble-only objective; alone it would silently
+        # train plain CE with no augmentation at all
+        parser.error("--augmix-ce requires --ensemble (use --augmix for the "
+                     "single-model JS-consistency objective)")
+
     if args.autoencoder:
         return _pretrain_autoencoder(args)
     if args.distill_mc:

@@ -116,6 +116,51 @@ def augmix_train_step(
     }
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
+def deepaugment_train_step(
+    apply_fn: Callable,
+    ae_apply: Callable,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    images: jax.Array,
+    labels: jax.Array,
+    key: jax.Array,
+    js_lam: jax.Array,
+    ae_params: Any,
+) -> tuple[TrainState, dict]:
+    """AugMix + DeepAugment (Hendrycks et al., ICCV 2021): the second
+    consistency view passes through the perturbed-weights autoencoder before
+    its AugMix chain, importing learned-manifold distortions the hand op set
+    cannot express (the weather-family remedy — fav_tpu/ops/deepaugment.py).
+    Same one-[3B] forward + JS objective as :func:`augmix_train_step`."""
+    from fav_tpu.ops.augment import augmix, js_consistency
+    from fav_tpu.ops.deepaugment import deepaugment
+
+    k1, k2, k3, kd = jax.random.split(key, 4)
+    aug1 = augmix(k1, images)
+    aug2 = augmix(k2, deepaugment(k3, images, ae_apply, ae_params))
+    trio = jnp.concatenate([images, aug1, aug2], axis=0)
+    b = images.shape[0]
+
+    def loss_fn(p):
+        logits = apply_fn(p, trio, train=True, rngs={"dropout": kd})
+        lc, la, lb = logits[:b], logits[b : 2 * b], logits[2 * b :]
+        ce = optax.softmax_cross_entropy_with_integer_labels(lc, labels).mean()
+        js = js_consistency(lc, la, lb)
+        acc = jnp.mean(jnp.argmax(lc, -1) == labels)
+        return ce + js_lam * js, (acc, ce, js)
+
+    (loss, (acc, ce, js)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), {
+        "loss": loss,
+        "accuracy": acc,
+        "ce": ce,
+        "js": js,
+    }
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
 def sam_augmix_train_step(
     apply_fn: Callable,
@@ -267,12 +312,15 @@ def train_classifier(
     augmix: bool = False,
     js_lam: float = 12.0,
     sam_rho: float = 0.0,
+    deepaugment: bool = False,
 ) -> tuple[Any, dict]:
     """Convenience host loop: train the CNN, return (params, final metrics).
 
     ``augmix=True`` switches to the AugMix consistency objective
     (``augmix_train_step``) for corruption-robust training; ``sam_rho > 0``
-    additionally turns on sharpness-aware minimization (requires augmix)."""
+    additionally turns on sharpness-aware minimization (requires augmix);
+    ``deepaugment=True`` routes the second view through the
+    perturbed-weights autoencoder (``deepaugment_train_step``)."""
     from fav_tpu.data.cifar import batch_iterator
 
     key = jax.random.PRNGKey(seed)
@@ -285,10 +333,20 @@ def train_classifier(
     metrics = {}
     lam = jnp.float32(js_lam)
     rho = jnp.float32(sam_rho)
+    ae_apply = ae_params = None
+    if deepaugment:
+        from fav_tpu.ops.deepaugment import load_augmenter
+
+        ae_apply, ae_params = load_augmenter()
     for i in range(num_steps):
         images, labels = next(it)
         key, step_key = jax.random.split(key)
-        if augmix and sam_rho > 0:
+        if deepaugment:
+            state, metrics = deepaugment_train_step(
+                model.apply, ae_apply, tx, state, jnp.asarray(images),
+                jnp.asarray(labels), step_key, lam, ae_params,
+            )
+        elif augmix and sam_rho > 0:
             state, metrics = sam_augmix_train_step(
                 model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels),
                 step_key, lam, rho,

@@ -456,7 +456,7 @@ def fast_corruption_fn(name: str):
         # takes the jax.random key directly — fields use the oracle's stream,
         # so this route is EXACTLY the jnp cell (max |diff| 0.0 on TPU)
         return elastic_transform_pallas
-    # Remaining families (blur, weather textures, elastic/pixelate/jpeg) are
+    # Remaining families (blur, weather textures, pixelate/jpeg) are
     # conv-, resize- and DCT-shaped: XLA lowers them onto the MXU directly
     # (measured <=10 ms per 2048-batch cell, BENCH.md) and a hand Pallas
     # kernel cannot beat the systolic-array conv it would have to re-derive.

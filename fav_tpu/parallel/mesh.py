@@ -119,11 +119,8 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_params_for_ensemble(mesh: Mesh, stacked_params):
     """Place a stacked-params pytree with the member axis on the ensemble
     mesh axis (member-per-device when sizes match)."""
-    sh = NamedSharding(mesh, P("ensemble"))
-
     def place(leaf):
         spec = P(*(("ensemble",) + (None,) * (leaf.ndim - 1)))
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    del sh
     return jax.tree.map(place, stacked_params)

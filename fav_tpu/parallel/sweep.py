@@ -24,7 +24,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fav_tpu.models.calibration import aupr, auroc, failure_labels, fpr_at_95_tpr
+from fav_tpu.models.calibration import (
+    aupr,
+    auroc,
+    brier_score,
+    expected_calibration_error,
+    failure_labels,
+    fpr_at_95_tpr,
+)
 from fav_tpu.models.uncertainty import anomaly_from_confidence
 from fav_tpu.ops.corruptions import CORRUPTION_NAMES, SEVERITIES, corruption_fn
 
@@ -60,14 +67,21 @@ def _cell_metrics(logits, labels, temperature):
     fails = failure_labels(preds, labels)
     logp = jnp.log(jnp.where(probs > 0, probs, 1.0))
     entropy = -jnp.sum(probs * logp, axis=-1)
+    correct = (preds == labels).astype(jnp.float32)
     return {
-        "accuracy": jnp.mean((preds == labels).astype(jnp.float32)),
+        "accuracy": jnp.mean(correct),
         "mean_confidence": jnp.mean(conf),
         "mean_entropy": jnp.mean(entropy),
         "failure_rate": jnp.mean(fails.astype(jnp.float32)),
         "auroc": auroc(1.0 - conf, fails),
         "aupr": aupr(1.0 - conf, fails),
         "fpr_at_95": fpr_at_95_tpr(1.0 - conf, fails),
+        # calibration *under shift*: the reference defines failure as a
+        # high-confidence wrong prediction (reference README.md:22-24), so
+        # whether the clean-fit temperature still calibrates at severity 5
+        # is the core quality claim — measured per cell, not just clean
+        "ece": expected_calibration_error(conf, correct),
+        "brier": brier_score(probs, labels),
         "mean_anomaly": jnp.mean(anomaly_from_confidence(conf)),
     }
 
@@ -140,15 +154,18 @@ def corruption_sweep(
     temperature: jax.Array | float = 1.0,
 ) -> dict[str, dict[int, dict[str, float]]]:
     """Full grid on the current default device/sharding. Returns
-    ``{corruption: {severity: metrics}}`` as host floats."""
+    ``{corruption: {severity: metrics}}`` as host floats.
+
+    Cell keys are ``fold_in(key, absolute_cell_index)`` — the SAME derivation
+    as :func:`fused_sweep`, so the per-cell debugging path reproduces the
+    fused path cell-for-cell (bitwise-identical corruption draws), not just
+    statistically."""
+    cells = [(name, sev) for name in corruptions for sev in severities]
     results: dict[str, dict[int, dict[str, float]]] = {}
-    for name in corruptions:
-        per_sev = {}
-        for sev in severities:
-            key, k = jax.random.split(key)
-            cell = sweep_cell(name, apply_fn, params, images, labels, k, sev, temperature)
-            per_sev[sev] = {m: float(v) for m, v in cell.items()}
-        results[name] = per_sev
+    for i, (name, sev) in enumerate(cells):
+        k = jax.random.fold_in(key, i)
+        cell = sweep_cell(name, apply_fn, params, images, labels, k, sev, temperature)
+        results.setdefault(name, {})[sev] = {m: float(v) for m, v in cell.items()}
     return results
 
 

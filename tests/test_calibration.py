@@ -102,6 +102,32 @@ def test_fpr_at_95_tpr_matches_numpy_oracle():
     assert float(fpr_at_95_tpr(jnp.asarray(scores), jnp.zeros(500))) == 1.0
 
 
+def test_fpr_at_95_tpr_tied_scores_matches_sklearn():
+    """Tied scores (saturated softmax confidences tie routinely): only
+    tie-block ends are realizable thresholds, so the operating point must
+    match sklearn's roc_curve, which groups ties (round-2 advisor finding:
+    interior-of-tie indices reported FPRs no threshold can realize)."""
+    from sklearn.metrics import roc_curve
+
+    from fav_tpu.models.calibration import fpr_at_95_tpr
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        scores = np.round(rng.normal(0, 1, 400), 1)  # heavy ties
+        labels = (rng.uniform(0, 1, 400) < jax.nn.sigmoid(scores)).astype(int)
+        got = float(fpr_at_95_tpr(jnp.asarray(scores), jnp.asarray(labels)))
+        fpr, tpr, _ = roc_curve(labels, scores)
+        want = float(fpr[np.searchsorted(tpr, 0.95, side="left")])
+        assert got == pytest.approx(want, abs=1e-9), trial
+    # extreme: one giant tie block containing the 95% crossing
+    scores = np.concatenate([np.full(300, 0.5), np.linspace(0.6, 1.0, 100)])
+    labels = np.concatenate([np.zeros(250), np.ones(50), np.ones(100)]).astype(int)
+    got = float(fpr_at_95_tpr(jnp.asarray(scores), jnp.asarray(labels)))
+    fpr, tpr, _ = roc_curve(labels, scores)
+    want = float(fpr[np.searchsorted(tpr, 0.95, side="left")])
+    assert got == pytest.approx(want, abs=1e-9)
+
+
 def test_auroc_perfect_and_random():
     s = jnp.asarray([0.1, 0.2, 0.8, 0.9])
     y = jnp.asarray([0, 0, 1, 1])

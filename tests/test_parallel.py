@@ -127,6 +127,60 @@ def test_fused_sweep_matches_per_cell(model_and_params):
             assert float(ref[metric]) == pytest.approx(got[n][s][metric], abs=3e-5), (n, s, metric)
 
 
+def test_per_cell_path_reproduces_fused(model_and_params):
+    """`evaluate --per-cell` (corruption_sweep) must reproduce the default
+    fused path cell-for-cell — both derive cell keys as fold_in(key,
+    absolute_cell_index), so the debugging path sees the SAME corruption
+    draws, not merely statistically comparable ones (round-2 advisor
+    finding). Also pins the new calibration-under-shift metrics (ece,
+    brier) to identical values on both paths."""
+    from fav_tpu.parallel.sweep import fused_sweep
+
+    model, params = model_and_params
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=9)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    names, sevs = ("gaussian_noise", "contrast"), (2, 5)
+    key = jax.random.PRNGKey(31)
+    fused = fused_sweep(model.apply, params, x, y, key, names, sevs, temperature=1.3)
+    percell = corruption_sweep(model.apply, params, x, y, key, names, sevs,
+                               temperature=1.3)
+    for n in names:
+        for s in sevs:
+            assert set(fused[n][s]) == set(percell[n][s])
+            for metric in fused[n][s]:
+                assert fused[n][s][metric] == pytest.approx(
+                    percell[n][s][metric], abs=3e-5
+                ), (n, s, metric)
+
+
+def test_sweep_cell_ece_matches_direct_computation(model_and_params):
+    """Per-cell ECE/Brier (calibration under shift) must equal computing the
+    metrics directly on the cell's corrupted forward — the grid reports
+    whether the clean-fit temperature survives each severity."""
+    from fav_tpu.models.calibration import brier_score, expected_calibration_error
+    from fav_tpu.ops.corruptions import corruption_fn
+    from fav_tpu.parallel.sweep import sweep_cell
+
+    model, params = model_and_params
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=12)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    key = jax.random.PRNGKey(5)
+    temp = 1.6
+    cell = sweep_cell("fog", model.apply, params, x, y, key, 4, temp)
+    corrupted = corruption_fn("fog")(key, x, 4)
+    probs = jax.nn.softmax(model.apply(params, corrupted) / temp, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    correct = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32)
+    # f32 fusion-order noise between the one-program cell and the two-step
+    # recomputation lands around 5e-6; 1e-4 still pins the binning semantics
+    assert float(cell["ece"]) == pytest.approx(
+        float(expected_calibration_error(conf, correct)), abs=1e-4
+    )
+    assert float(cell["brier"]) == pytest.approx(
+        float(brier_score(probs, y)), abs=1e-4
+    )
+
+
 def test_fused_sweep_chunking_invariant(model_and_params):
     """cells_per_call must not change any cell's result — per-cell keys fold
     in the absolute grid index (the HBM-bounded chunked path for
