@@ -342,7 +342,21 @@ def main(argv=None) -> dict:
     parser.add_argument("--sam", type=float, default=0.0, metavar="RHO",
                         help="sharpness-aware minimization radius on top of "
                              "--augmix (0 = off; try 0.05)")
+    parser.add_argument("--deepaugment", action="store_true",
+                        help="route the second AugMix view through the "
+                             "perturbed-weights autoencoder (DeepAugment; "
+                             "learned-manifold distortions targeting the "
+                             "weather-family robustness floor; implies "
+                             "--augmix; needs checkpoints/autoencoder)")
     args = parser.parse_args(argv)
+
+    if args.deepaugment:
+        if args.ensemble:
+            # member-independent AE perturbation draws are not wired; plain
+            # bagging is the measured-best ensemble recipe anyway (BENCH.md)
+            parser.error("--deepaugment is single-model only (use --augmix-ce "
+                         "for ensemble augmentation)")
+        args.augmix = True  # DeepAugment rides the AugMix consistency objective
 
     if args.augmix_ce and not args.ensemble:
         # --augmix-ce is an ensemble-only objective; alone it would silently
@@ -390,6 +404,7 @@ def main(argv=None) -> dict:
             model, ds, num_steps=args.steps, batch_size=args.batch,
             learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
             augmix=args.augmix, js_lam=args.js_lam, sam_rho=args.sam,
+            deepaugment=args.deepaugment,
         )
 
     # held-out split: half for temperature fitting, half for reporting
@@ -437,6 +452,7 @@ def main(argv=None) -> dict:
         **({"augmix": True, "js_lam": args.js_lam} if args.augmix else {}),
         **({"augmix_ce": True} if args.augmix_ce else {}),
         **({"sam_rho": args.sam} if args.sam else {}),
+        **({"deepaugment": True} if args.deepaugment else {}),
         # serving rebuilds the exact architecture from these — a template
         # mismatch must be impossible, not silently tolerated
         "arch": mp.arch,

@@ -85,6 +85,42 @@ def _quantize_act(x: jax.Array, scale: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
 
 
+def _conv_im2col_int8(x: jax.Array, kernel: jax.Array, strides=(1, 1)) -> jax.Array:
+    """Int8 conv as im2col + one s8 x s8 -> s32 ``dot_general``.
+
+    Rationale (VERDICT round 2, int8 item): XLA's TPU *conv* lowering for
+    int8 reaches only 52-66 TOPS (~17% of the 394 TOPS s8 peak) while an
+    int8 *dot* hits 248 TOPS — so reshape the conv into the dot the MXU is
+    fast at. kh*kw shifted strided slices (VPU copies, no gathers)
+    concatenate into [B*OH*OW, kh*kw*Cin] patches; the kernel flattens to
+    [kh*kw*Cin, Cout] in the same (dy, dx, cin) order. Padding replicates
+    XLA's SAME convention (asymmetric: lo = total//2). Int32 accumulation is
+    exact, so this matches ``lax.conv_general_dilated`` BITWISE — pinned in
+    tests/test_quant.py.
+    """
+    kh, kw, cin, cout = kernel.shape
+    b, h, w, _ = x.shape
+    sh, sw = strides
+    oh, ow = -(-h // sh), -(-w // sw)
+    pad_h = max((oh - 1) * sh + kh - h, 0)
+    pad_w = max((ow - 1) * sw + kw - w, 0)
+    xp = jnp.pad(
+        x,
+        ((0, 0), (pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
+    )
+    patches = [
+        xp[:, dy : dy + (oh - 1) * sh + 1 : sh, dx : dx + (ow - 1) * sw + 1 : sw, :]
+        for dy in range(kh)
+        for dx in range(kw)
+    ]
+    lhs = jnp.concatenate(patches, axis=-1).reshape(b * oh * ow, kh * kw * cin)
+    rhs = kernel.reshape(kh * kw * cin, cout)
+    y = lax.dot_general(
+        lhs, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return y.reshape(b, oh, ow, cout)
+
+
 # Layer walk shared by the fp mirror, calibration and the int8 path.
 # FailureAwareCNN's @nn.compact naming: Conv_{3s..3s+2} + GroupNorm_{2s,2s+1}
 # per stage s, then Dense_0/Dense_1 (cnn.py:64-82).
@@ -98,6 +134,7 @@ def functional_forward(
     quant: QuantizedCNN | None = None,
     collect_amax: bool = False,
     compute_dtype=jnp.bfloat16,
+    int8_algo: str = "conv",
 ):
     """Forward pass mirroring FailureAwareCNN.apply (inference mode).
 
@@ -105,7 +142,9 @@ def functional_forward(
       * fp mirror (default) — numerically matches ``model.apply``,
       * ``collect_amax=True`` — also returns the per-tensor amax at every
         quantized-conv input (the calibration observables),
-      * ``quant=...`` — runs Conv_1..Conv_8 on the MXU in int8.
+      * ``quant=...`` — runs Conv_1..Conv_8 on the MXU in int8;
+        ``int8_algo`` picks the lowering: ``"conv"`` (XLA's int8 conv) or
+        ``"im2col"`` (patches + int8 dot_general — the 248-TOPS dot route).
     """
     p = variables["params"]
     h = x.astype(compute_dtype)
@@ -123,8 +162,11 @@ def functional_forward(
             y = _conv(h, kernel.astype(compute_dtype), strides, out_dtype=compute_dtype)
         else:
             s_x = quant.act_scales[qi]
-            y_i32 = _conv(_quantize_act(h, s_x), quant.qweights[qi], strides,
-                          out_dtype=jnp.int32)
+            x_i8 = _quantize_act(h, s_x)
+            if int8_algo == "im2col":
+                y_i32 = _conv_im2col_int8(x_i8, quant.qweights[qi], strides)
+            else:
+                y_i32 = _conv(x_i8, quant.qweights[qi], strides, out_dtype=jnp.int32)
             y = (y_i32.astype(jnp.float32) * (s_x * quant.wscales[qi])).astype(compute_dtype)
         if not is_stem:
             qi += 1
@@ -183,6 +225,6 @@ def quantize_cnn(
     return QuantizedCNN(tuple(qweights), tuple(wscales), act_scales, variables, tuple(widths))
 
 
-def quantized_forward(q: QuantizedCNN, x: jax.Array) -> jax.Array:
+def quantized_forward(q: QuantizedCNN, x: jax.Array, int8_algo: str = "conv") -> jax.Array:
     """Int8 inference forward — same signature shape as ``model.apply``."""
-    return functional_forward(q.fp, x, q.widths, quant=q)
+    return functional_forward(q.fp, x, q.widths, quant=q, int8_algo=int8_algo)

@@ -195,6 +195,7 @@ def test_blank_blind_spot_parity():
     assert np.mean(blank) < np.mean(ok) < np.mean(corrupted)
 
 
+@pytest.mark.slow
 def test_ensemble_train_step(small_model):
     import optax
 

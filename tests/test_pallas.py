@@ -240,6 +240,7 @@ def test_fast_corruption_fn_glass_routing():
     assert fast_corruption_fn("glass_blur") is not corruption_fn("glass_blur")
 
 
+@pytest.mark.slow
 def test_elastic_pallas_exact_equivalence():
     """elastic_transform_pallas is EXACT vs the jnp oracle (same jax.random
     field stream outside the kernel; the VMEM tent accumulation is the same

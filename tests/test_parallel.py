@@ -89,6 +89,7 @@ def test_ensemble_member_per_device(model_and_params):
     )
 
 
+@pytest.mark.slow
 def test_sharded_sweep_matches_unsharded(model_and_params):
     model, params = model_and_params
     mesh = build_mesh((8, 1, 1))
@@ -181,6 +182,7 @@ def test_sweep_cell_ece_matches_direct_computation(model_and_params):
     )
 
 
+@pytest.mark.slow
 def test_fused_sweep_chunking_invariant(model_and_params):
     """cells_per_call must not change any cell's result — per-cell keys fold
     in the absolute grid index (the HBM-bounded chunked path for
@@ -306,6 +308,7 @@ def test_sharded_train_step():
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vit_tensor_parallel_matches_single():
     """The reserved 'model' axis made real: a ViT forward with attention
     heads and MLP hidden sharded tensor-parallel over 4 devices must equal

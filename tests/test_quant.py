@@ -40,6 +40,7 @@ def test_fp_mirror_matches_flax_apply(toy):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(mirror), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fp_mirror_matches_bf16_apply(toy):
     _, variables, x = toy
     model = FailureAwareCNN(compute_dtype="bfloat16")
@@ -61,6 +62,7 @@ def test_calibration_scale_shapes(toy):
         assert sw.shape == (width,)
 
 
+@pytest.mark.slow
 def test_quantized_forward_tracks_fp(toy):
     _, variables, x = toy
     q = quantize_cnn(variables, x)
@@ -69,6 +71,40 @@ def test_quantized_forward_tracks_fp(toy):
     # random-init logits are tiny; the int8 path must stay within a hair
     assert float(jnp.max(jnp.abs(fp - qi8))) < 0.05
     assert bool(jnp.all(jnp.argmax(fp, -1) == jnp.argmax(qi8, -1)))
+
+
+def test_im2col_int8_conv_matches_xla_conv_bitwise():
+    """The im2col + int8-dot lowering (the 248-TOPS MXU route, VERDICT round
+    2 int8 item) must equal XLA's int8 conv BITWISE — int32 accumulation is
+    exact, so any difference is a patch/kernel-order or padding bug."""
+    from jax import lax
+
+    from fav_tpu.models.quant import _conv, _conv_im2col_int8
+
+    rng = np.random.default_rng(0)
+    for (b, h, w, cin, cout, strides) in [
+        (4, 32, 32, 16, 32, (1, 1)),
+        (4, 32, 32, 16, 32, (2, 2)),
+        (2, 16, 16, 8, 8, (2, 2)),
+        (2, 15, 17, 8, 8, (2, 2)),  # odd dims exercise asymmetric SAME pad
+        (2, 15, 17, 8, 8, (1, 1)),
+    ]:
+        x = jnp.asarray(rng.integers(-127, 128, (b, h, w, cin)), jnp.int8)
+        k = jnp.asarray(rng.integers(-127, 128, (3, 3, cin, cout)), jnp.int8)
+        ref = _conv(x, k, strides, out_dtype=jnp.int32)
+        got = _conv_im2col_int8(x, k, strides)
+        assert got.shape == ref.shape, (strides, got.shape, ref.shape)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_quantized_forward_im2col_matches_conv(toy):
+    """End-to-end: the im2col int8 forward equals the conv int8 forward
+    (same quantization, same int32 math — only the MXU lowering differs)."""
+    _, variables, x = toy
+    q = quantize_cnn(variables, x)
+    a = quantized_forward(q, x, int8_algo="conv")
+    b = quantized_forward(q, x, int8_algo="im2col")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 @pytest.mark.slow

@@ -428,6 +428,7 @@ def test_ws_autoencoder_live_end_to_end(ae_app_server, tmp_path):
     assert info["source"].startswith("checkpoint:"), info
 
 
+@pytest.mark.slow
 def test_ws_live_video_end_to_end(app_server, tmp_path):
     """Deepest integration: upload a real video over HTTP, switch the WS
     source to it, and watch analyzed live state (signal metrics, streamed

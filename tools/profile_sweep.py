@@ -24,14 +24,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-images", type=int, default=2048)
     ap.add_argument("--corruptions", type=str, default="")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="skip the persistent compile cache (A/B: is cache "
+                         "deserialization slower than compiling?)")
     args = ap.parse_args()
 
     import jax
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if not args.no_cache:
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import jax.numpy as jnp
 
