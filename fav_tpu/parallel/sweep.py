@@ -91,15 +91,145 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base)
     """A chunk of (corruption, severity) cells in ONE XLA program. ``cells``
     is a static tuple of (name, severity); per-cell keys are
     ``fold_in(key, base + i)`` — absolute grid index, so chunking never
-    changes any cell's corruption draw."""
+    changes any cell's corruption draw.
+
+    Returns per-SAMPLE scalars ([cells, B] conf/correct/fail/entropy/brier/
+    anomaly), not finished metrics: the rank-based detection metrics (AUROC/
+    AUPR/FPR@95) and ECE binning are sort/scatter work that bloats the
+    compiled program (75 cells x sorts dominated compile time — measured in
+    tools/profile_sweep.py: grid compute is ~0.3 s while compile/load was
+    minutes) and they are O(B log B) on 2048 scalars — host work. The MXU
+    keeps what it is good at (corruption + forward); the ~3 MB of per-sample
+    scalars ride ONE D2H; finalization runs in NumPy (:func:`_finalize_cell`).
+    """
     stacked: dict[str, list] = {}
     for i, (name, sev) in enumerate(cells):
         k = jax.random.fold_in(key, base + i)
         corrupted = corruption_fn(name)(k, images, sev)
         logits = apply_fn(params, corrupted)
-        for m, v in _cell_metrics(logits, labels, temperature).items():
+        probs = jax.nn.softmax(logits / temperature, axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        preds = jnp.argmax(probs, axis=-1)
+        logp = jnp.log(jnp.where(probs > 0, probs, 1.0))
+        onehot = jax.nn.one_hot(labels, probs.shape[-1], dtype=probs.dtype)
+        per_sample = {
+            "conf": conf,
+            "correct": (preds == labels).astype(jnp.float32),
+            "fail": failure_labels(preds, labels).astype(jnp.float32),
+            "entropy": -jnp.sum(probs * logp, axis=-1),
+            "brier": jnp.sum((probs - onehot) ** 2, axis=-1),
+            "anomaly": anomaly_from_confidence(conf),
+        }
+        for m, v in per_sample.items():
             stacked.setdefault(m, []).append(v)
     return {m: jnp.stack(vs) for m, vs in stacked.items()}
+
+
+def _np_auroc(scores, labels):
+    """Tie-aware Mann-Whitney AUROC (NumPy mirror of calibration.auroc)."""
+    import numpy as np
+
+    s = np.asarray(scores, np.float64).ravel()
+    y = np.asarray(labels, np.float64).ravel()
+    order = np.argsort(s, kind="stable")
+    s_sorted, y_sorted = s[order], y[order]
+    n = s.shape[0]
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    is_new = np.concatenate([[True], s_sorted[1:] != s_sorted[:-1]])
+    group = np.cumsum(is_new) - 1
+    gsum = np.zeros(n)
+    gcnt = np.zeros(n)
+    np.add.at(gsum, group, ranks)
+    np.add.at(gcnt, group, 1.0)
+    avg_rank = (gsum / np.maximum(gcnt, 1.0))[group]
+    n_pos = y_sorted.sum()
+    n_neg = n - n_pos
+    u = (avg_rank * y_sorted).sum() - n_pos * (n_pos + 1.0) / 2.0
+    return float(u / max(n_pos * n_neg, 1.0))
+
+
+def _np_aupr(scores, labels):
+    """Average precision with tie blocks (mirror of calibration.aupr)."""
+    import numpy as np
+
+    s = np.asarray(scores, np.float64).ravel()
+    y = np.asarray(labels, np.float64).ravel()
+    order = np.argsort(-s, kind="stable")
+    s_sorted, y_sorted = s[order], y[order]
+    n = s.shape[0]
+    tp = np.cumsum(y_sorted)
+    precision = tp / np.arange(1, n + 1)
+    n_pos = y_sorted.sum()
+    recall = tp / max(n_pos, 1.0)
+    is_block_end = np.concatenate([s_sorted[1:] != s_sorted[:-1], [True]])
+    ends = np.nonzero(is_block_end)[0]
+    r_end = recall[ends]
+    p_end = precision[ends]
+    r_prev = np.concatenate([[0.0], r_end[:-1]])
+    return float(np.sum((r_end - r_prev) * p_end))
+
+
+def _np_fpr_at_95_tpr(scores, labels):
+    """FPR at the first realizable TPR >= 0.95 (mirror of
+    calibration.fpr_at_95_tpr, tie blocks grouped)."""
+    import numpy as np
+
+    s = np.asarray(scores, np.float64).ravel()
+    y = np.asarray(labels, np.float64).ravel()
+    order = np.argsort(-s, kind="stable")
+    s_sorted, y_sorted = s[order], y[order]
+    tp = np.cumsum(y_sorted)
+    fp = np.cumsum(1.0 - y_sorted)
+    n_pos = y_sorted.sum()
+    n_neg = max(s.shape[0] - n_pos, 1.0)
+    tpr = tp / max(n_pos, 1.0)
+    is_block_end = np.concatenate([s_sorted[1:] != s_sorted[:-1], [True]])
+    reached = (tpr >= 0.95) & is_block_end
+    idx = np.nonzero(reached)[0]
+    return float(fp[idx[0]] / n_neg) if idx.size else 1.0
+
+
+def _np_ece(conf, correct, num_bins: int = 15):
+    """Equal-width-bin ECE (mirror of calibration.expected_calibration_error;
+    the binning uses the same f32 ceil so bin assignment is identical)."""
+    import numpy as np
+
+    c = np.asarray(conf, np.float32).ravel()
+    k = np.asarray(correct, np.float64).ravel()
+    bins = np.clip(np.ceil(c * np.float32(num_bins)).astype(np.int32) - 1, 0, num_bins - 1)
+    n_b = np.zeros(num_bins)
+    conf_b = np.zeros(num_bins)
+    acc_b = np.zeros(num_bins)
+    np.add.at(n_b, bins, 1.0)
+    np.add.at(conf_b, bins, c.astype(np.float64))
+    np.add.at(acc_b, bins, k)
+    n_safe = np.maximum(n_b, 1.0)
+    gap = np.abs(acc_b / n_safe - conf_b / n_safe)
+    return float(np.sum(np.where(n_b > 0, n_b * gap, 0.0)) / c.shape[0])
+
+
+def _finalize_cell(ps: dict) -> dict[str, float]:
+    """Host finalization of one cell's per-sample scalars -> the metric dict
+    (same keys/semantics as :func:`_cell_metrics`)."""
+    import numpy as np
+
+    conf = ps["conf"]
+    fails = ps["fail"]
+    # uncertainty in f32 first — the on-device path computes 1-conf in f32,
+    # and tie structure must match for the rank metrics to agree exactly
+    unc = (1.0 - np.asarray(conf, np.float32)).astype(np.float64)
+    return {
+        "accuracy": float(np.mean(ps["correct"])),
+        "mean_confidence": float(np.mean(conf)),
+        "mean_entropy": float(np.mean(ps["entropy"])),
+        "failure_rate": float(np.mean(fails)),
+        "auroc": _np_auroc(unc, fails),
+        "aupr": _np_aupr(unc, fails),
+        "fpr_at_95": _np_fpr_at_95_tpr(unc, fails),
+        "ece": _np_ece(conf, ps["correct"]),
+        "brier": float(np.mean(ps["brier"])),
+        "mean_anomaly": float(np.mean(ps["anomaly"])),
+    }
 
 
 def fused_sweep(
@@ -119,7 +249,14 @@ def fused_sweep(
     metric per cell over the TPU tunnel — at 75 cells that dominates the
     wall clock (the same lesson as bench.py's megastep). Fusing brings a
     full-grid evaluation from ~25 min to the compute cost of 75 batched
-    forwards. Works unchanged on sharded inputs (metrics are scalar psums).
+    forwards. Works unchanged on sharded inputs (per-sample outputs gather
+    through the one device_get).
+
+    Round-3 split (tools/profile_sweep.py measurement): the device program
+    keeps only corruption + forward + per-sample elementwise scalars; the
+    sort/bin-shaped detection metrics finalize on host NumPy
+    (:func:`_finalize_cell`) — 75 on-device sorts were compile-time bloat
+    for O(B log B) work, and the per-sample D2H is ~3 MB.
 
     ``cells_per_call`` bounds the program size: multi-forward scorers
     (M-member ensembles, K-replica MC-dropout) at 2048 images blow the HBM
@@ -136,10 +273,11 @@ def fused_sweep(
             chunk, apply_fn, params, images, labels, key, temperature, start
         )
         for m, v in jax.device_get(out).items():  # one D2H per chunk
-            host.setdefault(m, []).extend(v.tolist())
+            host.setdefault(m, []).extend(v)  # [cells, B] rows
     results: dict[str, dict[int, dict[str, float]]] = {}
     for i, (name, sev) in enumerate(cells):
-        results.setdefault(name, {})[sev] = {m: host[m][i] for m in host}
+        per_sample = {m: host[m][i] for m in host}
+        results.setdefault(name, {})[sev] = _finalize_cell(per_sample)
     return results
 
 
