@@ -342,6 +342,11 @@ def main(argv=None) -> dict:
     parser.add_argument("--sam", type=float, default=0.0, metavar="RHO",
                         help="sharpness-aware minimization radius on top of "
                              "--augmix (0 = off; try 0.05)")
+    parser.add_argument("--freqband", action="store_true",
+                        help="add the spectral band-gain op to the AugMix "
+                             "pool (weather-axis coverage: fog shifts the "
+                             "low-frequency energy fraction 0.07->0.87 and "
+                             "no base op is spectral; implies --augmix)")
     parser.add_argument("--deepaugment", action="store_true",
                         help="route the second AugMix view through the "
                              "perturbed-weights autoencoder (DeepAugment; "
@@ -357,6 +362,10 @@ def main(argv=None) -> dict:
             parser.error("--deepaugment is single-model only (use --augmix-ce "
                          "for ensemble augmentation)")
         args.augmix = True  # DeepAugment rides the AugMix consistency objective
+    if args.freqband:
+        if args.ensemble:
+            parser.error("--freqband is single-model only for now")
+        args.augmix = True  # the spectral op rides the AugMix chain
 
     if args.augmix_ce and not args.ensemble:
         # --augmix-ce is an ensemble-only objective; alone it would silently
@@ -404,7 +413,7 @@ def main(argv=None) -> dict:
             model, ds, num_steps=args.steps, batch_size=args.batch,
             learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
             augmix=args.augmix, js_lam=args.js_lam, sam_rho=args.sam,
-            deepaugment=args.deepaugment,
+            deepaugment=args.deepaugment, freq_aug=args.freqband,
         )
 
     # held-out split: half for temperature fitting, half for reporting
@@ -453,6 +462,7 @@ def main(argv=None) -> dict:
         **({"augmix_ce": True} if args.augmix_ce else {}),
         **({"sam_rho": args.sam} if args.sam else {}),
         **({"deepaugment": True} if args.deepaugment else {}),
+        **({"freqband": True} if args.freqband else {}),
         # serving rebuilds the exact architecture from these — a template
         # mismatch must be impossible, not silently tolerated
         "arch": mp.arch,

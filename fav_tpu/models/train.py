@@ -73,7 +73,7 @@ def classifier_train_step(
     return TrainState(params, opt_state, state.step + 1), {"loss": loss, "accuracy": acc}
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 7), donate_argnums=(2,))
 def augmix_train_step(
     apply_fn: Callable,
     tx: optax.GradientTransformation,
@@ -82,6 +82,7 @@ def augmix_train_step(
     labels: jax.Array,
     key: jax.Array,
     js_lam: jax.Array,
+    freq: bool = False,
 ) -> tuple[TrainState, dict]:
     """AugMix train step (Hendrycks et al., ICLR 2020): CE on the clean view
     plus ``js_lam`` x Jensen-Shannon consistency across (clean, augmix1,
@@ -92,8 +93,8 @@ def augmix_train_step(
     from fav_tpu.ops.augment import augmix, js_consistency
 
     k1, k2, kd = jax.random.split(key, 3)
-    aug1 = augmix(k1, images)
-    aug2 = augmix(k2, images)
+    aug1 = augmix(k1, images, freq=freq)
+    aug2 = augmix(k2, images, freq=freq)
     trio = jnp.concatenate([images, aug1, aug2], axis=0)
     b = images.shape[0]
 
@@ -116,7 +117,7 @@ def augmix_train_step(
     }
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 9), donate_argnums=(3,))
 def deepaugment_train_step(
     apply_fn: Callable,
     ae_apply: Callable,
@@ -127,18 +128,20 @@ def deepaugment_train_step(
     key: jax.Array,
     js_lam: jax.Array,
     ae_params: Any,
+    freq: bool = False,
 ) -> tuple[TrainState, dict]:
     """AugMix + DeepAugment (Hendrycks et al., ICCV 2021): the second
     consistency view passes through the perturbed-weights autoencoder before
     its AugMix chain, importing learned-manifold distortions the hand op set
-    cannot express (the weather-family remedy — fav_tpu/ops/deepaugment.py).
+    cannot express (a weather-family candidate — fav_tpu/ops/deepaugment.py;
+    measured a negative result on the weather grid, BENCH.md round 3).
     Same one-[3B] forward + JS objective as :func:`augmix_train_step`."""
     from fav_tpu.ops.augment import augmix, js_consistency
     from fav_tpu.ops.deepaugment import deepaugment
 
     k1, k2, k3, kd = jax.random.split(key, 4)
-    aug1 = augmix(k1, images)
-    aug2 = augmix(k2, deepaugment(k3, images, ae_apply, ae_params))
+    aug1 = augmix(k1, images, freq=freq)
+    aug2 = augmix(k2, deepaugment(k3, images, ae_apply, ae_params), freq=freq)
     trio = jnp.concatenate([images, aug1, aug2], axis=0)
     b = images.shape[0]
 
@@ -313,6 +316,7 @@ def train_classifier(
     js_lam: float = 12.0,
     sam_rho: float = 0.0,
     deepaugment: bool = False,
+    freq_aug: bool = False,
 ) -> tuple[Any, dict]:
     """Convenience host loop: train the CNN, return (params, final metrics).
 
@@ -344,7 +348,7 @@ def train_classifier(
         if deepaugment:
             state, metrics = deepaugment_train_step(
                 model.apply, ae_apply, tx, state, jnp.asarray(images),
-                jnp.asarray(labels), step_key, lam, ae_params,
+                jnp.asarray(labels), step_key, lam, ae_params, freq_aug,
             )
         elif augmix and sam_rho > 0:
             state, metrics = sam_augmix_train_step(
@@ -353,7 +357,8 @@ def train_classifier(
             )
         elif augmix:
             state, metrics = augmix_train_step(
-                model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), step_key, lam
+                model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels),
+                step_key, lam, freq_aug,
             )
         else:
             state, metrics = classifier_train_step(

@@ -123,21 +123,58 @@ def _autocontrast(x: jax.Array, mag: jax.Array) -> jax.Array:
     return x + mag[:, None, None, None] * (stretched - x)
 
 
+def _freq_band(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
+    """Frequency-band gain augmentation: scale the image's radial spectral
+    octaves by random per-(image, band) gains.
+
+    Why (round-3 weather work): the measured signature of the weather
+    failure family is a *spectral* shift — fog moves the low-frequency
+    energy fraction from 0.07 to 0.78-0.87 (tools/diagnose_weather.py) —
+    and no AugMix op touches the spectrum, so the model never sees
+    spectrally-skewed views in training. This op randomizes the band
+    balance directly: FFT -> 4 octave bands (r < 1/8, 1/8-1/4, 1/4-1/2,
+    > 1/2 of Nyquist) -> per-image log-uniform gains in [1/4, 4]^mag ->
+    inverse FFT. The DC term keeps gain 1 (mean brightness untouched — the
+    'brightness' test cell must not leak), and no corruption formula
+    (turbulence/plasma, crystal banding, streak kernels) is used: this is a
+    pure spectral reweighting, identity at mag 0.
+    """
+    b, h, w, c = x.shape
+    f = jnp.fft.rfft2(x, axes=(1, 2))  # [B, H, W//2+1, C]
+    fy = jnp.minimum(jnp.arange(h), h - jnp.arange(h)).astype(jnp.float32) / (h / 2)
+    fx = jnp.arange(w // 2 + 1).astype(jnp.float32) / (w / 2)
+    r = jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)  # [H, W//2+1], 0..~1.4
+    edges = jnp.asarray([0.0, 0.125, 0.25, 0.5, 10.0])
+    band = jnp.sum((r[None] >= edges[1:, None, None]), axis=0)  # [H, Wr] in 0..3
+    log4 = jnp.log(4.0)
+    gains = jnp.exp(
+        jax.random.uniform(key, (b, 4), jnp.float32, -1.0, 1.0)
+        * mag[:, None] * log4
+    )  # [B, 4]
+    field = gains[:, jnp.clip(band, 0, 3)]  # [B, H, W//2+1]
+    field = jnp.where(r[None] == 0.0, 1.0, field)  # DC untouched
+    out = jnp.fft.irfft2(f * field[..., None], s=(h, w), axes=(1, 2))
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def _signed(key, mag):
     """Magnitude in [0, 1] -> signed value in [-mag, +mag] (random direction)."""
     sign = jnp.where(jax.random.bernoulli(key, shape=mag.shape), 1.0, -1.0)
     return sign * mag
 
 
-def _chain(key: jax.Array, x: jax.Array, gate_p: float) -> jax.Array:
+def _chain(key: jax.Array, x: jax.Array, gate_p: float, freq: bool = False) -> jax.Array:
     """One augmentation chain over a batch: gate each op's magnitude per
     image (Bernoulli(gate_p) — the TPU-native form of 'random op subset'),
     then apply geometry (one 3-pass scanline affine) and the pointwise ops
-    in fixed order. Gated-off ops are exact identities."""
+    in fixed order. Gated-off ops are exact identities. ``freq=True``
+    extends the op pool with the spectral band-gain op (:func:`_freq_band`,
+    the weather-axis view — opt-in so the base recipe stays reproducible)."""
     b, h, w, _ = x.shape
-    k_gate, k_mag, k_sign = jax.random.split(key, 3)
-    gates = jax.random.bernoulli(k_gate, gate_p, (NUM_OPS, b)).astype(jnp.float32)
-    mags = jax.random.uniform(k_mag, (NUM_OPS, b), jnp.float32) * gates
+    n_ops = NUM_OPS + (1 if freq else 0)
+    k_gate, k_mag, k_sign, k_freq = jax.random.split(key, 4)
+    gates = jax.random.bernoulli(k_gate, gate_p, (n_ops, b)).astype(jnp.float32)
+    mags = jax.random.uniform(k_mag, (n_ops, b), jnp.float32) * gates
     signs = jax.random.split(k_sign, 5)
 
     theta = _signed(signs[0], mags[0]) * _MAX_ROT
@@ -148,7 +185,10 @@ def _chain(key: jax.Array, x: jax.Array, gate_p: float) -> jax.Array:
     x = _affine_scanline(x, theta, sx, sy, tx, ty)
     x = _posterize(x, mags[5])
     x = _solarize(x, mags[6])
-    return _autocontrast(x, mags[7])
+    x = _autocontrast(x, mags[7])
+    if freq:
+        x = _freq_band(x, mags[8], k_freq)
+    return x
 
 
 # single-image op views (test/API surface; names define the leak-free
@@ -221,18 +261,20 @@ def augment_op(idx: jax.Array, img: jax.Array, mag: jax.Array, key: jax.Array) -
     return jax.lax.switch(idx, _OPS, img, mag, key)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "max_depth"))
+@functools.partial(jax.jit, static_argnames=("width", "max_depth", "freq"))
 def augmix(
     key: jax.Array,
     images: jax.Array,
     width: int = 3,
     max_depth: int = 3,
     alpha: float = 1.0,
+    freq: bool = False,
 ) -> jax.Array:
     """AugMix a [B, H, W, C] batch: per-image Dirichlet-weighted mixture of
     ``width`` augmentation chains, Beta-blended with the original. Chains
-    gate each op with p = mean_depth / NUM_OPS (mean_depth = E[U{1..max_depth}]),
-    so expected chain depth matches the canonical sampler."""
+    gate each op with p = mean_depth / n_ops (mean_depth = E[U{1..max_depth}]),
+    so expected chain depth matches the canonical sampler. ``freq=True``
+    adds the spectral band-gain op to the pool (weather-axis coverage)."""
     orig_dtype = images.dtype
     images = jax.lax.convert_element_type(images, jnp.float32)
     b = images.shape[0]
@@ -242,10 +284,10 @@ def augmix(
     )  # [B, width]
     blend = jax.random.beta(k_beta, alpha, alpha, (b,), jnp.float32)[:, None, None, None]
 
-    gate_p = ((1.0 + max_depth) / 2.0) / NUM_OPS
+    gate_p = ((1.0 + max_depth) / 2.0) / (NUM_OPS + (1 if freq else 0))
     # all chains in one program: [width*B, H, W, C]
     rep = jnp.tile(images, (width, 1, 1, 1))
-    chained = _chain(k_chains, rep, gate_p).reshape((width, b) + images.shape[1:])
+    chained = _chain(k_chains, rep, gate_p, freq).reshape((width, b) + images.shape[1:])
     mix = jnp.einsum("bw,wbhxc->bhxc", ws, chained)
     out = jnp.clip(blend * images + (1.0 - blend) * mix, 0.0, 1.0)
     return jax.lax.convert_element_type(out, orig_dtype)

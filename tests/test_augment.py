@@ -74,8 +74,64 @@ def test_ops_disjoint_from_test_corruptions():
     from fav_tpu.ops.augment import _OPS
     from fav_tpu.ops.corruptions import CORRUPTION_NAMES
 
-    op_names = {f.__name__.lstrip("_") for f in _OPS}
+    op_names = {f.__name__.lstrip("_") for f in _OPS} | {"freq_band"}
     assert not op_names & set(CORRUPTION_NAMES)
+
+
+def test_freq_band_identity_at_zero_and_spectral_at_one():
+    """The spectral band-gain op (weather-axis coverage): identity at mag 0,
+    preserves the image mean (DC gain pinned to 1), and actually moves the
+    low-frequency energy fraction at mag 1 — the axis fog exploits
+    (tools/diagnose_weather.py: clean 0.07 -> fog 0.78-0.87)."""
+    import numpy as np
+
+    from fav_tpu.ops.augment import _freq_band
+
+    key = jax.random.PRNGKey(3)
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(1), (6, 32, 32, 3)), 0, 1)
+    ident = _freq_band(x, jnp.zeros((6,)), key)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(x), atol=1e-5)
+
+    out = _freq_band(x, jnp.ones((6,)), key)
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert float(jnp.mean(jnp.abs(out - x))) > 1e-3
+    # mean brightness preserved up to the [0,1] clip (DC untouched)
+    assert float(jnp.max(jnp.abs(out.mean(axis=(1, 2, 3)) - x.mean(axis=(1, 2, 3))))) < 0.05
+
+    def lofrac(img):
+        gray = jnp.mean(img, axis=-1)
+        f = jnp.abs(jnp.fft.fft2(gray)) ** 2
+        h, w = gray.shape[-2:]
+        fy = jnp.minimum(jnp.arange(h), h - jnp.arange(h))[:, None]
+        fx = jnp.minimum(jnp.arange(w), w - jnp.arange(w))[None, :]
+        r = jnp.sqrt(fy**2 + fx**2)
+        lo = jnp.sum(jnp.where((r > 0) & (r <= 4), f, 0.0), axis=(-2, -1))
+        tot = jnp.sum(jnp.where(r > 0, f, 0.0), axis=(-2, -1))
+        return lo / tot
+
+    # across many draws, the op must sometimes push the lofreq fraction well
+    # above the clean level (fog-direction coverage)
+    fracs = []
+    for i in range(8):
+        out_i = _freq_band(x, jnp.ones((6,)), jax.random.PRNGKey(100 + i))
+        fracs.append(np.asarray(lofrac(out_i)))
+    clean = np.asarray(lofrac(x))
+    assert np.max(np.stack(fracs) - clean[None]) > 0.15
+
+
+def test_augmix_freq_variant_differs_and_is_deterministic():
+    import numpy as np
+
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(5), (4, 32, 32, 3)), 0, 1)
+    key = jax.random.PRNGKey(9)
+    base = augmix(key, x)
+    fr1 = augmix(key, x, freq=True)
+    fr2 = augmix(key, x, freq=True)
+    np.testing.assert_allclose(np.asarray(fr1), np.asarray(fr2), atol=0)
+    assert float(jnp.mean(jnp.abs(fr1 - base))) > 1e-4  # different op pool
+    assert fr1.shape == x.shape
+    assert float(fr1.min()) >= 0.0 and float(fr1.max()) <= 1.0
 
 
 def test_js_consistency_properties():
