@@ -66,6 +66,7 @@ def make_kd_step(
     kd_temperature: float,
     hard_weight: float,
     augmix: bool = False,
+    freq: bool = False,
 ):
     """One jitted knowledge-distillation step from a stacked-params ensemble.
 
@@ -80,7 +81,8 @@ def make_kd_step(
     ``augmix=True`` distills on [clean; AugMix(clean)] in one doubled batch
     (fav_tpu/ops/augment.py): the student learns the teacher's soft labels
     on the augmented manifold too, so robustness transfers — the hard-label
-    CE stays on the clean half only.
+    CE stays on the clean half only. ``freq=True`` extends the AugMix op
+    pool with the spectral band-gain op (weather-axis coverage).
     """
 
     @jax.jit
@@ -89,7 +91,7 @@ def make_kd_step(
         if augmix:
             from fav_tpu.ops.augment import augmix as _augmix
 
-            inp = jnp.concatenate([images, _augmix(key, images)], axis=0)
+            inp = jnp.concatenate([images, _augmix(key, images, freq=freq)], axis=0)
         else:
             inp = images
         member_logits = jax.vmap(lambda p: teacher_apply(p, inp))(stacked_teacher)
@@ -126,6 +128,7 @@ def distill_ensemble(
     seed: int = 0,
     log_every: int = 0,
     augmix: bool = False,
+    freq: bool = False,
 ) -> Any:
     """Distill a deep ensemble into a (typically *smaller*) student.
 
@@ -140,7 +143,8 @@ def distill_ensemble(
     tx = optax.adamw(learning_rate)
     opt_state = tx.init(student)
     step = make_kd_step(
-        student_model.apply, teacher_apply, tx, kd_temperature, hard_weight, augmix=augmix
+        student_model.apply, teacher_apply, tx, kd_temperature, hard_weight,
+        augmix=augmix, freq=freq,
     )
     it = batch_iterator(images, labels, batch_size, seed=seed)
     key = jax.random.PRNGKey(seed + 29)

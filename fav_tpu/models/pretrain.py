@@ -253,7 +253,7 @@ def _distill_ensemble(args) -> dict:
         ds.train_images, ds.train_labels,
         num_steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
         kd_temperature=args.kd_temperature, seed=args.seed, log_every=args.log_every,
-        augmix=args.augmix,
+        augmix=args.augmix, freq=args.freqband,
     )
 
     n_val = ds.test_images.shape[0] // 2
@@ -280,6 +280,7 @@ def _distill_ensemble(args) -> dict:
         "teacher_ensemble_size": size,
         "kd_temperature": args.kd_temperature,
         **({"augmix_distill": True} if args.augmix else {}),
+        **({"freqband": True} if args.freqband else {}),
         "ensemble_size": None,
         "arch": s_mp.arch,
         "widths": list(s_mp.widths),
@@ -364,7 +365,7 @@ def main(argv=None) -> dict:
         args.augmix = True  # DeepAugment rides the AugMix consistency objective
     if args.freqband:
         if args.ensemble:
-            parser.error("--freqband is single-model only for now")
+            parser.error("--freqband is single-model or KD only for now")
         args.augmix = True  # the spectral op rides the AugMix chain
 
     if args.augmix_ce and not args.ensemble:
