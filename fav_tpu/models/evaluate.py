@@ -40,7 +40,14 @@ def main(argv=None) -> dict:
     parser.add_argument("--per-cell", action="store_true",
                         help="dispatch one program per grid cell instead of "
                              "the fused whole-grid program (debugging aid)")
+    parser.add_argument("--conformal", type=float, default=0.0, metavar="ALPHA",
+                        help="split-conformal prediction sets at miscoverage "
+                             "ALPHA (e.g. 0.1): calibrate on held-out clean "
+                             "data, report coverage + set size per grid cell "
+                             "(fav_tpu/models/conformal.py; fused path only)")
     args = parser.parse_args(argv)
+    if args.conformal and args.per_cell:
+        parser.error("--conformal requires the fused sweep path")
 
     import jax
 
@@ -131,12 +138,14 @@ def main(argv=None) -> dict:
     # forwards-per-cell multiplier (fused_sweep docstring)
     multi = max(args.ensemble, args.mc_dropout, 1)
     cells_per_call = 0 if multi <= 1 else max(1, 25 // multi)
+    want_probs = args.conformal > 0.0
     if jax.device_count() > 1 and n % jax.device_count() == 0:
         mesh = build_mesh((jax.device_count(), 1, 1))
         grid = sharded_sweep(mesh, apply_fn, params, images, labels, key,
                              corruptions=names, temperature=temperature,
                              fused=not args.per_cell,
-                             cells_per_call=cells_per_call)
+                             cells_per_call=cells_per_call,
+                             return_probs=want_probs)
     else:
         if args.per_cell:
             grid = corruption_sweep(apply_fn, params, images, labels, key,
@@ -144,7 +153,20 @@ def main(argv=None) -> dict:
         else:
             grid = fused_sweep(apply_fn, params, images, labels, key,
                                corruptions=names, temperature=temperature,
-                               cells_per_call=cells_per_call)
+                               cells_per_call=cells_per_call,
+                               return_probs=want_probs)
+    conformal_summary = None
+    if want_probs:
+        from fav_tpu.models.conformal import attach_conformal_metrics
+
+        grid, cells, cell_probs = grid
+        conformal_summary = attach_conformal_metrics(
+            grid, cells, cell_probs, labels,
+            apply_fn=apply_fn, params=params, temperature=temperature,
+            cal_images=jnp.asarray(ds.test_images[n:]),
+            cal_labels=jnp.asarray(ds.test_labels[n:]),
+            alpha=args.conformal,
+        )
 
     # aggregate: mean over severities per corruption + overall. AUROC is only
     # defined where failures exist — zero-failure cells are excluded, not
@@ -163,6 +185,9 @@ def main(argv=None) -> dict:
         if with_fail:
             for m in ("auroc", "aupr", "fpr_at_95"):
                 out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
+        if all("coverage" in c for c in cells.values()):
+            out["coverage"] = round(sum(c["coverage"] for c in cells.values()) / len(cells), 4)
+            out["set_size"] = round(sum(c["set_size"] for c in cells.values()) / len(cells), 3)
         return out
 
     per_corruption = {name: agg(cells) for name, cells in grid.items()}
@@ -185,6 +210,8 @@ def main(argv=None) -> dict:
         "devices": jax.device_count(),
         "data_source": ds.source,
     }
+    if conformal_summary is not None:
+        overall["conformal"] = conformal_summary
     result = {"summary": overall, "per_corruption": per_corruption, "grid": grid}
     print(json.dumps(overall, indent=2))
     if args.out:

@@ -86,8 +86,9 @@ def _cell_metrics(logits, labels, temperature):
     }
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7))
-def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base):
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))
+def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
+                want_probs=False):
     """A chunk of (corruption, severity) cells in ONE XLA program. ``cells``
     is a static tuple of (name, severity); per-cell keys are
     ``fold_in(key, base + i)`` — absolute grid index, so chunking never
@@ -120,6 +121,11 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base)
             "brier": jnp.sum((probs - onehot) ** 2, axis=-1),
             "anomaly": anomaly_from_confidence(conf),
         }
+        if want_probs:
+            # full temperature-scaled prob rows for host-side conformal
+            # scoring (fav_tpu/models/conformal.py): +C floats/sample D2H,
+            # static flag so the default program is unchanged
+            per_sample["probs"] = probs
         for m, v in per_sample.items():
             stacked.setdefault(m, []).append(v)
     return {m: jnp.stack(vs) for m, vs in stacked.items()}
@@ -242,7 +248,8 @@ def fused_sweep(
     severities: Sequence[int] = SEVERITIES,
     temperature: jax.Array | float = 1.0,
     cells_per_call: int = 0,
-) -> dict[str, dict[int, dict[str, float]]]:
+    return_probs: bool = False,
+) -> Any:
     """Full grid as ONE compiled program + ONE dispatch (or a few, chunked).
 
     The per-cell path pays ~10 ms dispatch plus a host scalar fetch per
@@ -263,6 +270,11 @@ def fused_sweep(
     liveness budget in a single 75-cell program (measured: 43 GB demanded
     of 15.75 GB for a 5-member ensemble). 0 = all cells in one program.
     Chunking never changes results — cell keys fold in the absolute index.
+
+    ``return_probs=True`` additionally ships each cell's temperature-scaled
+    prob rows to host and returns ``(results, cells, probs)`` with ``probs``
+    a list of [B, C] arrays aligned with ``cells`` — the input to conformal
+    coverage-under-shift scoring (evaluate ``--conformal``).
     """
     cells = tuple((str(n), int(s)) for n in corruptions for s in severities)
     step = cells_per_call or len(cells)
@@ -270,14 +282,18 @@ def fused_sweep(
     for start in range(0, len(cells), step):
         chunk = cells[start : start + step]
         out = _fused_grid(
-            chunk, apply_fn, params, images, labels, key, temperature, start
+            chunk, apply_fn, params, images, labels, key, temperature, start,
+            return_probs,
         )
         for m, v in jax.device_get(out).items():  # one D2H per chunk
             host.setdefault(m, []).extend(v)  # [cells, B] rows
+    probs_rows = host.pop("probs", None)
     results: dict[str, dict[int, dict[str, float]]] = {}
     for i, (name, sev) in enumerate(cells):
         per_sample = {m: host[m][i] for m in host}
         results.setdefault(name, {})[sev] = _finalize_cell(per_sample)
+    if return_probs:
+        return results, cells, probs_rows
     return results
 
 
@@ -319,7 +335,8 @@ def sharded_sweep(
     temperature: jax.Array | float = 1.0,
     fused: bool = False,
     cells_per_call: int = 0,
-) -> dict[str, dict[int, dict[str, float]]]:
+    return_probs: bool = False,
+) -> Any:
     """Same grid with images/labels sharded over the mesh's data axis and
     params replicated. The per-cell jitted program is unchanged — XLA inserts
     the ICI collectives for the scalar reductions (SURVEY.md §5.8).
@@ -342,7 +359,7 @@ def sharded_sweep(
     if fused:
         return fused_sweep(
             apply_fn, params, images, labels, key, corruptions, severities,
-            temperature, cells_per_call,
+            temperature, cells_per_call, return_probs,
         )
     return corruption_sweep(
         apply_fn, params, images, labels, key, corruptions, severities, temperature

@@ -359,3 +359,34 @@ def test_sweep_cell_detection_metric_suite():
     cell = sweep_cell("gaussian_noise", model.apply, v, x, y, jax.random.PRNGKey(3), 3)
     for k in ("aupr", "fpr_at_95"):
         assert 0.0 <= float(cell[k]) <= 1.0, (k, float(cell[k]))
+
+
+def test_fused_sweep_return_probs_consistent(model_and_params):
+    """return_probs=True ships each cell's temperature-scaled prob rows and
+    must neither change the metrics nor disagree with them: per-cell mean
+    max-prob == the cell's mean_confidence."""
+    import numpy as np
+
+    from fav_tpu.parallel.sweep import fused_sweep
+
+    model, params = model_and_params
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=2)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    names = ("gaussian_noise", "fog")
+    sevs = (1, 3)
+    key = jax.random.PRNGKey(5)
+    plain = fused_sweep(model.apply, params, x, y, key, names, sevs, temperature=1.2)
+    got, cells, probs = fused_sweep(
+        model.apply, params, x, y, key, names, sevs, temperature=1.2,
+        return_probs=True,
+    )
+    assert len(probs) == len(cells) == 4
+    for i, (n, s) in enumerate(cells):
+        rows = np.asarray(probs[i])
+        assert rows.shape == (64, 10)
+        np.testing.assert_allclose(rows.sum(axis=1), 1.0, atol=1e-5)
+        assert rows.max(axis=1).mean() == pytest.approx(
+            got[n][s]["mean_confidence"], abs=3e-5)
+        for metric in plain[n][s]:
+            assert plain[n][s][metric] == pytest.approx(
+                got[n][s][metric], abs=3e-5), (n, s, metric)

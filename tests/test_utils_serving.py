@@ -380,6 +380,31 @@ def test_evaluate_cli_ensemble_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_evaluate_cli_conformal_smoke(tmp_path):
+    """--conformal attaches per-cell coverage/set_size and a summary whose
+    clean coverage honors the split-conformal guarantee (random-init model:
+    the guarantee is model-agnostic, so it must hold even for garbage
+    probs — that is the point of conformal calibration)."""
+    from fav_tpu.models import evaluate
+
+    result = evaluate.main(
+        ["--num-images", "64", "--corruptions", "gaussian_noise,brightness",
+         "--widths", "8,16", "--checkpoint", str(tmp_path / "none"),
+         "--conformal", "0.1"]
+    )
+    conf = result["summary"]["conformal"]
+    assert conf["alpha"] == 0.1
+    # guarantee: clean coverage >= 1 - alpha - binomial noise (n ~ 1968)
+    assert conf["clean_coverage"] >= 0.9 - 0.03, conf
+    for cells in result["grid"].values():
+        for cell in cells.values():
+            assert 0.0 <= cell["coverage"] <= 1.0
+            assert 1.0 <= cell["set_size"] <= 10.0
+    per = result["per_corruption"]["brightness"]
+    assert "coverage" in per and "set_size" in per
+
+
+@pytest.mark.slow
 def test_evaluate_cli_mc_dropout_smoke(tmp_path):
     from fav_tpu.models import evaluate
 
