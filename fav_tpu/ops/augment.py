@@ -34,11 +34,24 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["augmix", "augment_op", "NUM_OPS", "js_consistency"]
+
+
+def _use_pallas_affine() -> bool:
+    """Opt-in (``FAV_AUGMIX_PALLAS=1``) VMEM shear kernels for the affine
+    passes (fav_tpu/ops/augment_pallas.py). Measured round 3 and NOT the
+    default: the same-session A/B showed the XLA select-accumulate was not
+    the AugMix bottleneck after all (augmix view 104.5 vs 108.8 ms at batch
+    12288) and the pallas_call boundaries cost fusion inside the full train
+    step (332.7 vs 296.0 ms) — the real cost center was the Beta/Dirichlet
+    rejection samplers (see ``_mix_weights``). Kernel + equivalence tests
+    stay as the documented negative result (BENCH.md Training)."""
+    return os.environ.get("FAV_AUGMIX_PALLAS", "") == "1"
 
 # magnitude-1 ceilings for the geometry family
 _MAX_ROT = math.pi / 6.0  # ±30°
@@ -182,7 +195,12 @@ def _chain(key: jax.Array, x: jax.Array, gate_p: float, freq: bool = False) -> j
     sy = _signed(signs[2], mags[2]) * _MAX_SHEAR
     tx = _signed(signs[3], mags[3]) * _MAX_TRANSLATE * w
     ty = _signed(signs[4], mags[4]) * _MAX_TRANSLATE * h
-    x = _affine_scanline(x, theta, sx, sy, tx, ty)
+    if _use_pallas_affine():
+        from fav_tpu.ops.augment_pallas import affine_scanline_pallas
+
+        x = affine_scanline_pallas(x, theta, sx, sy, tx, ty)
+    else:
+        x = _affine_scanline(x, theta, sx, sy, tx, ty)
     x = _posterize(x, mags[5])
     x = _solarize(x, mags[6])
     x = _autocontrast(x, mags[7])

@@ -241,3 +241,53 @@ def test_ensemble_augmix_ce_mode():
     states, m = step(states, x, y, key)
     assert m["loss"].shape == (2,) and bool(jnp.isfinite(m["loss"]).all())
     assert len({round(float(v), 6) for v in m["loss"]}) > 1  # member-independent draws
+
+
+def test_affine_scanline_pallas_matches_xla():
+    """The VMEM shear kernels are the same arithmetic as the XLA
+    select-accumulate: tent weights are exactly (1-frac, frac) at the two
+    interpolation offsets and exactly 0.0 elsewhere, so the sums agree to
+    fp rounding. Pinned in interpret mode on random knobs incl. identity."""
+    import numpy as np
+
+    from fav_tpu.ops.augment import (
+        _MAX_ROT,
+        _MAX_SHEAR,
+        _MAX_TRANSLATE,
+        _affine_scanline,
+    )
+    from fav_tpu.ops.augment_pallas import affine_scanline_pallas
+
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 6)
+    b = 6
+    x = jax.random.uniform(ks[0], (b, 32, 32, 3), jnp.float32)
+    theta = jax.random.uniform(ks[1], (b,), jnp.float32, -1, 1) * _MAX_ROT
+    sx = jax.random.uniform(ks[2], (b,), jnp.float32, -1, 1) * _MAX_SHEAR
+    sy = jax.random.uniform(ks[3], (b,), jnp.float32, -1, 1) * _MAX_SHEAR
+    tx = jax.random.uniform(ks[4], (b,), jnp.float32, -1, 1) * _MAX_TRANSLATE * 32
+    ty = jax.random.uniform(ks[5], (b,), jnp.float32, -1, 1) * _MAX_TRANSLATE * 32
+    # exercise the exact-identity row too
+    theta = theta.at[0].set(0.0)
+    sx = sx.at[0].set(0.0)
+    sy = sy.at[0].set(0.0)
+    tx = tx.at[0].set(0.0)
+    ty = ty.at[0].set(0.0)
+
+    want = _affine_scanline(x, theta, sx, sy, tx, ty)
+    got = affine_scanline_pallas(x, theta, sx, sy, tx, ty, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(x[0]), atol=1e-6)
+
+
+def test_augmix_pallas_dispatch_env_override(monkeypatch):
+    """FAV_AUGMIX_PALLAS forces the dispatcher; on CPU the default is the
+    XLA path."""
+    from fav_tpu.ops import augment
+
+    monkeypatch.delenv("FAV_AUGMIX_PALLAS", raising=False)
+    assert augment._use_pallas_affine() is (jax.default_backend() == "tpu")
+    monkeypatch.setenv("FAV_AUGMIX_PALLAS", "1")
+    assert augment._use_pallas_affine() is True
+    monkeypatch.setenv("FAV_AUGMIX_PALLAS", "0")
+    assert augment._use_pallas_affine() is False
