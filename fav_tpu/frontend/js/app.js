@@ -83,6 +83,13 @@
       $("ml-pred").textContent = msg.ml_inference.prediction;
       $("ml-conf").textContent = fmt(msg.ml_inference.confidence, 3);
       $("ml-anom").textContent = fmt(msg.ml_inference.model_anomaly, 3);
+      // conformal prediction-set size: present only when the served
+      // checkpoint carries a calibrated qhat (1 = certified singleton)
+      var setEl = $("ml-set");
+      if (setEl) {
+        setEl.textContent = msg.ml_inference.conformal_set_size !== undefined
+          ? String(msg.ml_inference.conformal_set_size) : "—";
+      }
     }
     renderEvents(msg.failure_events);
   }

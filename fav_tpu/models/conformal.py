@@ -155,6 +155,30 @@ def set_sizes(sets_mask: jax.Array) -> jax.Array:
     return jnp.sum(sets_mask.astype(jnp.int32), axis=-1)
 
 
+def calibration_metadata(
+    probs_val: jax.Array,
+    labels_val: jax.Array,
+    alpha: float = 0.1,
+    key: jax.Array | None = None,
+) -> dict:
+    """Checkpoint-metadata entries for deploy-time conformal sets.
+
+    Called at train time on the temperature-calibration split (the same
+    held-out clean data the temperature fits on): serving reads
+    ``conformal_qhat`` back and reports each frame's prediction-set size as
+    a difficulty signal (fav_tpu/serving/inference.py). Randomized APS at
+    calibration, deterministic thresholding at deployment — deterministic
+    sets are a superset of randomized ones, so deployed coverage is
+    conservative (never below the certificate)."""
+    scores = aps_scores(
+        probs_val, labels_val, key=key if key is not None else jax.random.PRNGKey(13)
+    )
+    return {
+        "conformal_alpha": alpha,
+        "conformal_qhat": round(float(conformal_quantile(scores, alpha)), 5),
+    }
+
+
 def attach_conformal_metrics(
     grid: dict,
     cells,

@@ -137,6 +137,7 @@ def _distill(args) -> dict:
         failure_labels,
         fit_temperature,
     )
+    from fav_tpu.models.conformal import calibration_metadata
     from fav_tpu.models.cnn import create_model
     from fav_tpu.models.distill import distill_mc_dropout
     from fav_tpu.models.train import classifier_eval_step
@@ -180,6 +181,11 @@ def _distill(args) -> dict:
     metrics = {
         "accuracy": round(float(out["accuracy"]), 4),
         "temperature": round(temperature, 4),
+        # deploy-time conformal threshold, calibrated on the same
+        # held-out clean split as the temperature (alpha = 0.1)
+        **calibration_metadata(
+            jax.nn.softmax(val_logits / temperature, axis=-1), val_y
+        ),
         "ece": round(float(expected_calibration_error(conf, correct)), 4),
         "failure_auroc": (
             round(float(auroc(1.0 - conf, fails)), 4) if int(fails.sum()) > 0 else None
@@ -215,6 +221,7 @@ def _distill_ensemble(args) -> dict:
         failure_labels,
         fit_temperature,
     )
+    from fav_tpu.models.conformal import calibration_metadata
     from fav_tpu.models.cnn import create_model
     from fav_tpu.models.distill import distill_ensemble
     from fav_tpu.models.train import classifier_eval_step
@@ -270,6 +277,11 @@ def _distill_ensemble(args) -> dict:
     metrics = {
         "accuracy": round(float(out["accuracy"]), 4),
         "temperature": round(temperature, 4),
+        # deploy-time conformal threshold, calibrated on the same
+        # held-out clean split as the temperature (alpha = 0.1)
+        **calibration_metadata(
+            jax.nn.softmax(val_logits / temperature, axis=-1), val_y
+        ),
         "ece": round(float(expected_calibration_error(conf, correct)), 4),
         "failure_auroc": (
             round(float(auroc(1.0 - conf, fails)), 4) if int(fails.sum()) > 0 else None
@@ -392,6 +404,7 @@ def main(argv=None) -> dict:
         failure_labels,
         fit_temperature,
     )
+    from fav_tpu.models.conformal import calibration_metadata
     from fav_tpu.models.cnn import create_model
     from fav_tpu.models.train import classifier_eval_step, train_classifier
     from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR, save_checkpoint
@@ -444,6 +457,11 @@ def main(argv=None) -> dict:
     metrics = {
         "accuracy": round(float(out["accuracy"]), 4),
         "temperature": round(temperature, 4),
+        # deploy-time conformal threshold, calibrated on the same
+        # held-out clean split as the temperature (alpha = 0.1)
+        **calibration_metadata(
+            jax.nn.softmax(val_logits / temperature, axis=-1), val_y
+        ),
         "ece": round(float(expected_calibration_error(conf, correct)), 4),
         "ece_uncalibrated": round(
             float(

@@ -174,17 +174,30 @@ class InferenceService:
         temperature = self._temperature
         mode = self.uncertainty
         mc_samples = self.cfg.mc_samples
+        # deploy-time conformal sets: checkpoints trained since round 3 carry
+        # the split-conformal threshold calibrated on clean held-out data
+        # (fav_tpu/models/conformal.py:calibration_metadata); the per-frame
+        # set SIZE is the difficulty signal (1 = confident singleton,
+        # growing sets = the frame is sliding out of the certified regime)
+        qhat = self._meta.get("conformal_qhat")
 
         def summarize(member_probs):
             mean_probs = jnp.mean(member_probs, axis=0)
             conf = jnp.max(mean_probs, axis=-1)
-            return {
+            out = {
                 "prediction": jnp.argmax(mean_probs, axis=-1),
                 "confidence": conf,
                 "anomaly": anomaly_from_confidence(conf),
                 "entropy": predictive_entropy(mean_probs),
                 "mutual_information": mutual_information(member_probs),
             }
+            if qhat is not None:
+                from fav_tpu.models.conformal import prediction_sets, set_sizes
+
+                out["set_size"] = set_sizes(
+                    prediction_sets(mean_probs, float(qhat))
+                )
+            return out
 
         @jax.jit
         def forward(params, images, key):
@@ -254,6 +267,9 @@ class InferenceService:
             "temperature": self._temperature,
             "uncertainty": self.uncertainty,
         }
+        if self._meta.get("conformal_qhat") is not None:
+            info["conformal_alpha"] = self._meta.get("conformal_alpha")
+            info["conformal_qhat"] = self._meta.get("conformal_qhat")
         if self.restore_error:
             info["error"] = f"checkpoint restore failed: {self.restore_error}"
         return info
@@ -346,6 +362,7 @@ class InferenceService:
         anom = np.asarray(out["anomaly"])
         ent = np.asarray(out["entropy"])
         mi = np.asarray(out["mutual_information"])
+        sizes = np.asarray(out["set_size"]) if "set_size" in out else None
         results = []
         for i in range(n):
             res = {
@@ -356,5 +373,7 @@ class InferenceService:
             }
             if self.uncertainty != "msp":
                 res["mutual_information"] = round(float(mi[i]), 4)
+            if sizes is not None:
+                res["conformal_set_size"] = int(sizes[i])
             results.append(res)
         return results

@@ -131,6 +131,64 @@ def test_inference_service_batch_matches_single(tmp_path):
         assert r["confidence"] == pytest.approx(solo["confidence"], abs=1e-3)
 
 
+def test_inference_service_conformal_set_size(tmp_path):
+    """A checkpoint carrying conformal_qhat makes the service report a
+    per-frame prediction-set size; the set always contains the argmax
+    (APS includes classes until cumulative mass reaches qhat, so the
+    top class is always in), and model info exposes the certificate."""
+    import jax
+
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.serving.inference import InferenceService
+
+    model = create_model(SMALL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ckpt = str(tmp_path / "conf_ckpt")
+    save_checkpoint(
+        ckpt,
+        params,
+        metadata={
+            "temperature": 1.0,
+            "widths": list(SMALL.widths),
+            "dense_width": SMALL.dense_width,
+            "conformal_alpha": 0.1,
+            "conformal_qhat": 0.9,
+        },
+    )
+    service = InferenceService(SMALL, checkpoint_dir=ckpt)
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert service.source.startswith("checkpoint:")
+    assert 1 <= res["conformal_set_size"] <= 10
+    info = service.info()
+    assert info["conformal_qhat"] == 0.9
+    assert info["conformal_alpha"] == 0.1
+
+
+def test_inference_service_no_conformal_without_qhat(tmp_path):
+    """Without a qhat in metadata (old checkpoints / random init) the
+    wire result must NOT grow a conformal field."""
+    from fav_tpu.serving.inference import InferenceService
+
+    service = InferenceService(SMALL, checkpoint_dir=str(tmp_path / "none"))
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert "conformal_set_size" not in res
+    assert "conformal_qhat" not in service.info()
+
+
 def test_frame_for_model():
     from fav_tpu.serving.app import _frame_for_model
 

@@ -141,8 +141,11 @@ def test_nested_ml_inference_fields_match_service():
     with open(os.path.join(os.path.dirname(__file__), "..", "fav_tpu", "serving",
                            "inference.py"), encoding="utf-8") as f:
         inf_src = f.read()
-    # the per-frame scored payload keys (serving/inference.py score fan-out)
+    # the per-frame scored payload keys (serving/inference.py score fan-out):
+    # dict-literal entries plus conditional `res["k"] = int(...)` assignments
+    # (conformal_set_size attaches only when the checkpoint carries a qhat)
     produced = set(re.findall(r'"(\w+)":\s*(?:int|round|float)\(', inf_src))
+    produced |= set(re.findall(r'res\["(\w+)"\]\s*=\s*(?:int|round|float)\(', inf_src))
     read = set()
     for name, src in _js_sources().items():
         read |= set(re.findall(r"ml_inference\.(\w+)", _strip_strings_and_comments(src)))
