@@ -75,7 +75,7 @@ class ConnectionState:
     last_inference: dict = field(default_factory=dict)
     inference: InferenceService | None = None  # shared, set by create_app
     analysis: "AnalysisService | None" = None  # shared, set by create_app
-    analysis_carry: object = None  # this connection's temporal analyzer state
+    analysis_slot: "int | None" = None  # this stream's device-resident carry slot
     timer: StageTimer | None = None  # shared, set by create_app
 
     def __post_init__(self):
@@ -97,7 +97,8 @@ class ConnectionState:
         self.logger.reset()
         self.attributor.reset()
         self.analyzer.reset()
-        self.analysis_carry = None
+        if self.analysis is not None and self.analysis_slot is not None:
+            self.analysis.reset_slot(self.analysis_slot)
         self.last_frame_id = 0
         self.last_analysis = {}
         self.last_inference = {}  # stale ML scores must not outlive a reset
@@ -140,47 +141,61 @@ async def _tick_live(conn: ConnectionState, dt: float) -> dict:
         state["dt"] = round(dt, 4)
         return state
     is_new = frame_id != conn.last_frame_id
+    encoded = None
     if is_new:
-        # analysis runs off the event loop — cv2/JAX work must not stall WS IO
-        with conn.timer.stage("analysis") if conn.timer else contextlib.nullcontext():
-            if conn.analysis is not None and frame.shape[:2] == (
-                conn.analysis.height, conn.analysis.width
-            ):
-                # micro-batched across connections: one device call serves
-                # every live stream's frame. While the analyzer compiles
-                # (minutes on a cold TPU) keep the heartbeat: stream engine
-                # state + the raw frame, analysis attaches once warm.
-                if conn.analysis_carry is None:
-                    conn.analysis_carry = conn.analysis.new_carry()
-                result = await conn.analysis.maybe_analyze(frame, conn.analysis_carry)
-                if result is None:
-                    state = conn.engine.get_state()
-                    state["analysis_warming"] = True
-                    state["dt"] = round(dt, 4)
-                    state["frame_id"] = frame_id
-                    encoded = await asyncio.to_thread(
-                        frame_to_base64_jpeg, frame, conn.config.video.jpeg_quality
-                    )
-                    if encoded:
-                        state["video_frame"] = encoded
-                    conn.last_frame_id = frame_id
-                    return state
-                conn.analysis_carry, conn.last_analysis = result
-            else:
-                conn.last_analysis = await asyncio.to_thread(
-                    conn.analyzer.analyze_frame, frame
+        # analysis, CNN scoring, and JPEG wire-encode are mutually
+        # independent per frame — run them CONCURRENTLY. Over a tunneled
+        # TPU each micro-batched device call costs ~30-45 ms round trip;
+        # serializing analysis then inference capped a live stream at
+        # ~9 Hz (measured), overlapping them restores the budget.
+        async def _analyze():
+            with conn.timer.stage("analysis") if conn.timer else contextlib.nullcontext():
+                use_service = conn.analysis is not None and frame.shape[:2] == (
+                    conn.analysis.height, conn.analysis.width
                 )
-        if conn.inference is not None:
+                if use_service and conn.analysis_slot is None:
+                    # claim a device-resident carry slot; at capacity the
+                    # stream falls back to its per-connection analyzer below
+                    conn.analysis_slot = conn.analysis.acquire_slot()
+                if use_service and conn.analysis_slot is not None:
+                    # micro-batched across connections: one device call serves
+                    # every live stream's frame. While the analyzer compiles
+                    # (minutes on a cold TPU) keep the heartbeat: stream
+                    # engine state + the raw frame, analysis attaches once
+                    # warm (returns None meanwhile).
+                    return await conn.analysis.maybe_analyze(frame, conn.analysis_slot)
+                return await asyncio.to_thread(conn.analyzer.analyze_frame, frame)
+
+        async def _infer():
+            if conn.inference is None:
+                return None
             with conn.timer.stage("inference") if conn.timer else contextlib.nullcontext():
                 small = await asyncio.to_thread(
                     _frame_for_model, frame, conn.config.model.image_size
                 )
                 # non-blocking while the model warms up: the 30 Hz heartbeat
                 # must not stall behind the first compile
-                scored = await conn.inference.maybe_score_frame(small)
-            if scored is not None:
-                conn.last_inference = scored
+                return await conn.inference.maybe_score_frame(small)
+
+        async def _encode():
+            with conn.timer.stage("encode") if conn.timer else contextlib.nullcontext():
+                return await asyncio.to_thread(
+                    frame_to_base64_jpeg, frame, conn.config.video.jpeg_quality
+                )
+
+        result, scored, encoded = await asyncio.gather(_analyze(), _infer(), _encode())
+        if scored is not None:
+            conn.last_inference = scored
         conn.last_frame_id = frame_id
+        if result is None:  # analyzer still warming
+            state = conn.engine.get_state()
+            state["analysis_warming"] = True
+            state["dt"] = round(dt, 4)
+            state["frame_id"] = frame_id
+            if encoded:
+                state["video_frame"] = encoded
+            return state
+        conn.last_analysis = result
     analysis = conn.last_analysis
     anomaly = analysis["anomaly_score"]
     if conn.config.server.use_model_anomaly and conn.last_inference:
@@ -192,13 +207,8 @@ async def _tick_live(conn: ConnectionState, dt: float) -> dict:
         state["ml_inference"] = conn.last_inference
     state["dt"] = round(dt, 4)
     state["frame_id"] = frame_id
-    if is_new:
-        with conn.timer.stage("encode") if conn.timer else contextlib.nullcontext():
-            encoded = await asyncio.to_thread(
-                frame_to_base64_jpeg, frame, conn.config.video.jpeg_quality
-            )
-        if encoded:
-            state["video_frame"] = encoded
+    if encoded:
+        state["video_frame"] = encoded
     return state
 
 
@@ -265,7 +275,8 @@ async def _handle_control(ws: WebSocket, conn: ConnectionState, msg: dict) -> No
         conn.source_mode = mode
         # mode switch resets analyzer + engine + attributor (main.py:258-261)
         conn.analyzer.reset()
-        conn.analysis_carry = None  # fresh temporal state for the new source
+        if conn.analysis is not None and conn.analysis_slot is not None:
+            conn.analysis.reset_slot(conn.analysis_slot)  # fresh temporal state
         conn.engine.reset()
         conn.attributor.reset()
         conn.last_frame_id = 0
@@ -386,6 +397,7 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
             checkpoint_dir=cfg.server.checkpoint or None,
             max_wait_ms=cfg.server.inference_max_wait_ms,
             uncertainty=cfg.server.uncertainty,
+            timer=timer,  # device-call latency shows up in /api/metrics
         )
         if cfg.server.model_scoring
         else None
@@ -396,6 +408,7 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
             height=cfg.video.process_height,
             width=cfg.video.process_width,
             max_wait_ms=cfg.server.inference_max_wait_ms,
+            timer=timer,  # device-call latency shows up in /api/metrics
         )
         if cfg.server.batched_analysis
         else None
@@ -486,6 +499,9 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
             except (asyncio.CancelledError, WebSocketClosed):
                 pass
             conn.video.stop()
+            if conn.analysis is not None and conn.analysis_slot is not None:
+                conn.analysis.release_slot(conn.analysis_slot)
+                conn.analysis_slot = None
 
     server.ws("/ws", ws_stream)
 

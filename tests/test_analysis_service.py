@@ -1,6 +1,7 @@
 """Micro-batched analysis service must be observationally identical to the
 per-connection SignalAnalyzer facade — same scores, same statuses, same
-temporal (freeze) behavior — while serving concurrent streams in one call."""
+temporal (freeze) behavior — while serving concurrent streams in one call
+against the device-resident slot carry."""
 
 import asyncio
 
@@ -24,11 +25,11 @@ def test_service_matches_direct_analyzer():
     frames = [_frame(i) for i in range(5)]
 
     async def run():
-        carry = service.new_carry()
+        slot = service.acquire_slot()
         out = []
         for f in frames:
-            carry, res = await service.analyze(f, carry)
-            out.append(res)
+            out.append(await service.analyze(f, slot))
+        service.release_slot(slot)
         await service.close()
         return out
 
@@ -41,19 +42,19 @@ def test_service_matches_direct_analyzer():
 
 
 def test_service_freeze_state_per_stream():
-    """Two interleaved streams: one frozen (same frame), one live — carries
-    must not bleed across streams in the shared batch."""
+    """Two interleaved streams: one frozen (same frame), one live — slot
+    carries must not bleed across streams in the shared batch."""
     service = AnalysisService(AnalyzerParams(), height=H, width=W)
     frozen_frame = _frame(0)
 
     async def run():
-        c1 = service.new_carry()
-        c2 = service.new_carry()
+        s1 = service.acquire_slot()
+        s2 = service.acquire_slot()
         last1 = last2 = None
         for i in range(7):
-            (c1, last1), (c2, last2) = await asyncio.gather(
-                service.analyze(frozen_frame, c1),      # stream 1: frozen
-                service.analyze(_frame(100 + i), c2),   # stream 2: changing
+            last1, last2 = await asyncio.gather(
+                service.analyze(frozen_frame, s1),      # stream 1: frozen
+                service.analyze(_frame(100 + i), s2),   # stream 2: changing
             )
         await service.close()
         return last1, last2
@@ -65,18 +66,18 @@ def test_service_freeze_state_per_stream():
 
 def test_service_concurrent_batch():
     """8 concurrent streams resolve in one shot with correct independent
-    results (padding rows must not leak)."""
+    results (scratch-slot padding rows must not leak)."""
     service = AnalysisService(AnalyzerParams(), height=H, width=W)
     direct = SignalAnalyzer(AnalyzerParams(), height=H, width=W)
 
     async def run():
-        carries = [service.new_carry() for _ in range(8)]
+        slots = [service.acquire_slot() for _ in range(8)]
         frames = [_frame(i) for i in range(8)]
         results = await asyncio.gather(
-            *[service.analyze(f, c) for f, c in zip(frames, carries)]
+            *[service.analyze(f, s) for f, s in zip(frames, slots)]
         )
         await service.close()
-        return frames, [r[1] for r in results]
+        return frames, results
 
     frames, got = asyncio.run(run())
     for f, g in zip(frames, got):
@@ -86,3 +87,56 @@ def test_service_concurrent_batch():
             w["metrics"]["raw"]["entropy"], abs=1e-3
         )
         assert g["vision_status"] == w["vision_status"]
+
+
+def test_slot_reuse_resets_temporal_state():
+    """release + acquire hands the slot to a NEW stream: the old stream's
+    prev-frame must not leak (a same-frame submit right after reuse must
+    not count as frozen continuation)."""
+    service = AnalysisService(AnalyzerParams(), height=H, width=W)
+    f = _frame(3)
+
+    async def run():
+        slot = service.acquire_slot()
+        for _ in range(6):
+            res_old = await service.analyze(f, slot)
+        service.release_slot(slot)
+        slot2 = service.acquire_slot()
+        res_new = await service.analyze(f, slot2)
+        await service.close()
+        return res_old, res_new, slot, slot2
+
+    res_old, res_new, slot, slot2 = asyncio.run(run())
+    assert slot2 == slot  # free-list reuse: the test exercises real reuse
+    assert res_old["vision_status"] == "VISION_FROZEN"
+    # fresh stream: no prev frame -> frame_diff forced to 10.0, not frozen
+    assert res_new["vision_status"] != "VISION_FROZEN"
+    assert res_new["metrics"]["raw"]["frame_diff"] == pytest.approx(10.0)
+
+
+def test_reset_slot_restarts_freeze_tracking():
+    """reset_slot (source switch) restarts the freeze counter in-program."""
+    service = AnalysisService(AnalyzerParams(), height=H, width=W)
+    f = _frame(4)
+
+    async def run():
+        slot = service.acquire_slot()
+        for _ in range(6):
+            frozen = await service.analyze(f, slot)
+        service.reset_slot(slot)
+        after = await service.analyze(f, slot)
+        await service.close()
+        return frozen, after
+
+    frozen, after = asyncio.run(run())
+    assert frozen["vision_status"] == "VISION_FROZEN"
+    assert after["vision_status"] != "VISION_FROZEN"
+
+
+def test_capacity_exhaustion_returns_none():
+    service = AnalysisService(AnalyzerParams(), height=H, width=W, capacity=2)
+    a, b = service.acquire_slot(), service.acquire_slot()
+    assert {a, b} == {0, 1}
+    assert service.acquire_slot() is None
+    service.release_slot(b)
+    assert service.acquire_slot() == b
