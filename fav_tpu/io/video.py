@@ -47,6 +47,7 @@ class VideoSource:
         self._frame_id = 0
         self._is_file = False
         self._fps = 30.0
+        self._taken = False  # latest frame consumed -> decode a fresh one
 
     @property
     def running(self) -> bool:
@@ -74,6 +75,7 @@ class VideoSource:
         with self._lock:
             self._frame = None
             self._frame_id = 0
+            self._taken = False
         self._thread = threading.Thread(target=self._capture_loop, daemon=True)
         self._thread.start()
         return True
@@ -83,6 +85,7 @@ class VideoSource:
         with self._lock:
             if self._frame is None:
                 return None, 0
+            self._taken = True  # demand signal: decode a fresh frame next
             return self._frame.copy(), self._frame_id
 
     def stop(self) -> None:
@@ -100,6 +103,24 @@ class VideoSource:
         frame_interval = 1.0 / self._fps
         while self._running and self._cap is not None:
             tick_start = time.monotonic()
+            if self._is_file and self._frame is not None and not self._taken:
+                # demand-driven decode: the consumer hasn't taken the last
+                # published frame, so advance the clip in real time with a
+                # container-level grab() (~100 us) and skip the JPEG decode
+                # + resize (~1-3 ms). With N concurrent streams ticking
+                # slower than the clip FPS, decode cost scales with the
+                # ANALYZED rate, not N x 30 Hz — on a 1-core serving host
+                # 32 idle-decoding streams burned ~2 cores before this
+                # (measured, BENCH.md Serving). Playback stays real-time:
+                # grabbed-but-undecoded frames are simply dropped, exactly
+                # what the latest-frame slot does to decoded frames nobody
+                # reads.
+                if not self._cap.grab():
+                    self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)  # EOF: loop
+                elapsed = time.monotonic() - tick_start
+                if elapsed < frame_interval:
+                    time.sleep(frame_interval - elapsed)
+                continue
             ok, frame = self._cap.read()
             if not ok:
                 if self._is_file:
@@ -114,6 +135,7 @@ class VideoSource:
             with self._lock:
                 self._frame = frame
                 self._frame_id += 1
+                self._taken = False
             if self._is_file:
                 # pace at native FPS (:157-159)
                 elapsed = time.monotonic() - tick_start

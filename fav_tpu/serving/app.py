@@ -532,6 +532,16 @@ def main() -> None:  # pragma: no cover
     # float64 for the playground parity path; model compute dtypes are
     # explicit (bfloat16/float32) so TPU inference is unaffected.
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: server restarts must not re-pay the
+    # 1-6 min Mosaic/XLA bucket compiles on a tunneled TPU (same cache as
+    # bench.py/evaluate.py)
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     cfg = config_from_env()
 
     async def _run():

@@ -98,3 +98,30 @@ def test_restart_resets_frame_ids(video_file):
     _, fid2 = src.get_frame()
     src.stop()
     assert fid2 <= max(1, fid1)  # counter restarted
+
+
+def test_demand_driven_decode_skips_unconsumed_frames(video_file):
+    """File sources decode only on consumer demand: while nobody calls
+    get_frame the clip advances via grab() (real-time playback, frames
+    dropped) but frame_id must NOT advance — with N slow-ticking live
+    streams, decode cost scales with the analyzed rate, not N x clip FPS
+    (measured on the 1-core serving host, BENCH.md Serving)."""
+    src = VideoSource(VideoParams())
+    assert src.start(video_file)
+    deadline = time.time() + 5
+    fid = 0
+    while fid < 1 and time.time() < deadline:
+        frame, fid = src.get_frame()
+        time.sleep(0.01)
+    assert fid >= 1
+    time.sleep(0.3)  # 9+ clip frames pass, unconsumed
+    _, fid_idle = src.get_frame()
+    assert fid_idle <= fid + 1  # at most one decode-ahead, not ~9
+    # demand resumes decoding: polling must advance the id again
+    deadline = time.time() + 5
+    fid2 = fid_idle
+    while fid2 < fid_idle + 3 and time.time() < deadline:
+        _, fid2 = src.get_frame()
+        time.sleep(0.01)
+    src.stop()
+    assert fid2 >= fid_idle + 3
