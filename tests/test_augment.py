@@ -243,6 +243,7 @@ def test_ensemble_augmix_ce_mode():
     assert len({round(float(v), 6) for v in m["loss"]}) > 1  # member-independent draws
 
 
+@pytest.mark.slow
 def test_affine_scanline_pallas_matches_xla():
     """The VMEM shear kernels are the same arithmetic as the XLA
     select-accumulate: tent weights are exactly (1-frac, frac) at the two

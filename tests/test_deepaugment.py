@@ -24,6 +24,7 @@ def ae():
     return model, params
 
 
+@pytest.mark.slow
 def test_perturb_params_strength_zero_is_identity(ae):
     _, params = ae
     out = perturb_params(jax.random.PRNGKey(1), params, jnp.float32(0.0))

@@ -154,6 +154,7 @@ def test_per_cell_path_reproduces_fused(model_and_params):
                 ), (n, s, metric)
 
 
+@pytest.mark.slow
 def test_sweep_cell_ece_matches_direct_computation(model_and_params):
     """Per-cell ECE/Brier (calibration under shift) must equal computing the
     metrics directly on the cell's corrupted forward — the grid reports

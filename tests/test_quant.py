@@ -33,6 +33,7 @@ def toy():
     return model, variables, x
 
 
+@pytest.mark.slow
 def test_fp_mirror_matches_flax_apply(toy):
     model, variables, x = toy
     ref = model.apply(variables, x)
@@ -49,6 +50,7 @@ def test_fp_mirror_matches_bf16_apply(toy):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(mirror), atol=0.15)
 
 
+@pytest.mark.slow
 def test_calibration_scale_shapes(toy):
     _, variables, x = toy
     scales = calibrate_cnn(variables, x)
@@ -73,6 +75,7 @@ def test_quantized_forward_tracks_fp(toy):
     assert bool(jnp.all(jnp.argmax(fp, -1) == jnp.argmax(qi8, -1)))
 
 
+@pytest.mark.slow
 def test_im2col_int8_conv_matches_xla_conv_bitwise():
     """The im2col + int8-dot lowering (the 248-TOPS MXU route, VERDICT round
     2 int8 item) must equal XLA's int8 conv BITWISE — int32 accumulation is
@@ -97,6 +100,7 @@ def test_im2col_int8_conv_matches_xla_conv_bitwise():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_quantized_forward_im2col_matches_conv(toy):
     """End-to-end: the im2col int8 forward equals the conv int8 forward
     (same quantization, same int32 math — only the MXU lowering differs)."""
