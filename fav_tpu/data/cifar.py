@@ -28,7 +28,7 @@ from typing import Iterator, NamedTuple
 
 import numpy as np
 
-__all__ = ["Dataset", "load_cifar10", "synthetic_cifar10", "batch_iterator"]
+__all__ = ["Dataset", "load_cifar10", "synthetic_cifar10", "batch_iterator", "index_iterator"]
 
 CIFAR_DIRNAME = "cifar-10-batches-py"
 
@@ -221,6 +221,28 @@ def synthetic_cifar10(
     )
 
 
+def index_iterator(
+    n: int,
+    batch_size: int,
+    seed: int = 0,
+    epochs: int | None = None,
+    drop_remainder: bool = True,
+) -> Iterator[np.ndarray]:
+    """Shuffled epoch iterator over batch INDEX arrays — the single source of
+    batch composition for both the host per-step loop (``batch_iterator``)
+    and the device-resident training megastep
+    (``fav_tpu.models.train.make_train_megastep``), so the two paths train
+    on bitwise-identical batch sequences."""
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        end = n - (n % batch_size) if drop_remainder else n
+        for i in range(0, end, batch_size):
+            yield order[i : i + batch_size]
+        epoch += 1
+
+
 def batch_iterator(
     images: np.ndarray,
     labels: np.ndarray,
@@ -231,13 +253,5 @@ def batch_iterator(
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Shuffled epoch iterator (host-side; device put happens at the caller
     so sharding/donation stays in one place)."""
-    rng = np.random.default_rng(seed)
-    n = images.shape[0]
-    epoch = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(n)
-        end = n - (n % batch_size) if drop_remainder else n
-        for i in range(0, end, batch_size):
-            idx = order[i : i + batch_size]
-            yield images[idx], labels[idx]
-        epoch += 1
+    for idx in index_iterator(images.shape[0], batch_size, seed, epochs, drop_remainder):
+        yield images[idx], labels[idx]

@@ -360,6 +360,12 @@ def main(argv=None) -> dict:
                              "pool (weather-axis coverage: fog shifts the "
                              "low-frequency energy fraction 0.07->0.87 and "
                              "no base op is spectral; implies --augmix)")
+    parser.add_argument("--megastep", type=int, default=0, metavar="K",
+                        help="run training as device-resident K-step scans "
+                             "(one program, dataset resident on device, "
+                             "indices-only upload; identical trajectory to "
+                             "the per-step loop). Plain-CE/AugMix single "
+                             "models only")
     parser.add_argument("--deepaugment", action="store_true",
                         help="route the second AugMix view through the "
                              "perturbed-weights autoencoder (DeepAugment; "
@@ -385,6 +391,11 @@ def main(argv=None) -> dict:
         # train plain CE with no augmentation at all
         parser.error("--augmix-ce requires --ensemble (use --augmix for the "
                      "single-model JS-consistency objective)")
+
+    if args.megastep and (args.ensemble or args.sam > 0 or args.deepaugment
+                          or args.distill_mc or args.distill_ensemble
+                          or args.autoencoder):
+        parser.error("--megastep covers single-model plain-CE/AugMix training")
 
     if args.autoencoder:
         return _pretrain_autoencoder(args)
@@ -428,6 +439,7 @@ def main(argv=None) -> dict:
             learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
             augmix=args.augmix, js_lam=args.js_lam, sam_rho=args.sam,
             deepaugment=args.deepaugment, freq_aug=args.freqband,
+            megastep=args.megastep,
         )
 
     # held-out split: half for temperature fitting, half for reporting

@@ -31,6 +31,7 @@ __all__ = [
     "sam_augmix_train_step",
     "autoencoder_train_step",
     "make_ensemble_train_step",
+    "make_train_megastep",
     "train_classifier",
     "train_autoencoder",
 ]
@@ -56,6 +57,16 @@ def _ce_loss(apply_fn, params, images, labels, key):
     return loss, acc
 
 
+def _classifier_step_core(apply_fn, tx, state, images, labels, key):
+    """Plain-CE step math, shared by the per-step jit and the megastep scan."""
+    (loss, acc), grads = jax.value_and_grad(
+        lambda p: _ce_loss(apply_fn, p, images, labels, key), has_aux=True
+    )(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), {"loss": loss, "accuracy": acc}
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
 def classifier_train_step(
     apply_fn: Callable,
@@ -65,12 +76,7 @@ def classifier_train_step(
     labels: jax.Array,
     key: jax.Array,
 ) -> tuple[TrainState, dict]:
-    (loss, acc), grads = jax.value_and_grad(
-        lambda p: _ce_loss(apply_fn, p, images, labels, key), has_aux=True
-    )(state.params)
-    updates, opt_state = tx.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state, state.step + 1), {"loss": loss, "accuracy": acc}
+    return _classifier_step_core(apply_fn, tx, state, images, labels, key)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 7), donate_argnums=(2,))
@@ -90,6 +96,11 @@ def augmix_train_step(
     matmul keeps the MXU saturated instead of three half-empty launches.
     Augmentation ops are disjoint from the 15 test corruptions
     (fav_tpu/ops/augment.py), so the corruption grid stays held out."""
+    return _augmix_step_core(apply_fn, tx, state, images, labels, key, js_lam, freq)
+
+
+def _augmix_step_core(apply_fn, tx, state, images, labels, key, js_lam, freq):
+    """AugMix step math, shared by the per-step jit and the megastep scan."""
     from fav_tpu.ops.augment import augmix, js_consistency
 
     k1, k2, kd = jax.random.split(key, 3)
@@ -219,6 +230,59 @@ def classifier_eval_step(apply_fn: Callable, params: Any, images: jax.Array, lab
     return {"loss": loss, "accuracy": acc, "logits": logits}
 
 
+def make_train_megastep(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    *,
+    augmix: bool = False,
+    js_lam: float = 12.0,
+    freq: bool = False,
+):
+    """Device-resident training megastep: ``lax.scan`` over K optimizer steps
+    in ONE jitted program, batches gathered on-device from the resident
+    train set by index.
+
+    Why (same roofline logic as the inference megastep, BENCH.md): the
+    per-step host loop pays a ~10 ms tunnel dispatch AND a full batch upload
+    per step — at batch 4096 float32 that is 50 MB over a measured
+    ~38 MB/s tunnel, >1.3 s/step of pure H2D before the 75 ms of compute.
+    Here the dataset ships once, each chunk uploads only a [K, B] int32
+    index array (16 KB/step), and the K steps run back-to-back on-device.
+    Batch composition and per-step PRNG splits exactly mirror the host loop
+    (``data/cifar.index_iterator`` is the shared shuffle stream), so the two
+    paths produce the same trajectory up to XLA compilation-level fp
+    reassociation (~1e-6/step; the scan body fuses differently than the
+    standalone step) — pinned by
+    tests/test_models.py::test_megastep_matches_per_step_loop.
+
+    Returns ``megastep(state, images_all, labels_all, idx_chunk, key) ->
+    (state, key, last_step_metrics)`` with ``state`` donated; thread the
+    returned key into the next call (it has advanced by K splits, matching
+    the host loop's split-per-step)."""
+    lam = jnp.float32(js_lam)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def megastep(state, images_all, labels_all, idx_chunk, key):
+        def body(carry, idx):
+            st, k = carry
+            k, step_key = jax.random.split(k)
+            images = jnp.take(images_all, idx, axis=0)
+            labels = jnp.take(labels_all, idx, axis=0)
+            if augmix:
+                st, metrics = _augmix_step_core(
+                    apply_fn, tx, st, images, labels, step_key, lam, freq
+                )
+            else:
+                st, metrics = _classifier_step_core(
+                    apply_fn, tx, st, images, labels, step_key
+                )
+            return (st, k), metrics
+        (state, key), metrics = jax.lax.scan(body, (state, key), idx_chunk)
+        return state, key, jax.tree.map(lambda x: x[-1], metrics)
+
+    return megastep
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
 def autoencoder_train_step(
     apply_fn: Callable,
@@ -317,6 +381,7 @@ def train_classifier(
     sam_rho: float = 0.0,
     deepaugment: bool = False,
     freq_aug: bool = False,
+    megastep: int = 0,
 ) -> tuple[Any, dict]:
     """Convenience host loop: train the CNN, return (params, final metrics).
 
@@ -324,8 +389,14 @@ def train_classifier(
     (``augmix_train_step``) for corruption-robust training; ``sam_rho > 0``
     additionally turns on sharpness-aware minimization (requires augmix);
     ``deepaugment=True`` routes the second view through the
-    perturbed-weights autoencoder (``deepaugment_train_step``)."""
-    from fav_tpu.data.cifar import batch_iterator
+    perturbed-weights autoencoder (``deepaugment_train_step``).
+
+    ``megastep=K`` (plain-CE / AugMix only) runs the bulk of training as
+    device-resident K-step scans (``make_train_megastep``) — identical
+    trajectory, none of the per-step dispatch + batch-upload cost; any
+    remainder steps fall through to the per-step loop below, continuing the
+    same shuffle stream and key chain."""
+    from fav_tpu.data.cifar import index_iterator
 
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
@@ -333,7 +404,6 @@ def train_classifier(
     params = model.init(init_key, sample)
     state, tx = create_train_state(params, learning_rate)
 
-    it = batch_iterator(dataset.train_images, dataset.train_labels, batch_size, seed=seed)
     metrics = {}
     lam = jnp.float32(js_lam)
     rho = jnp.float32(sam_rho)
@@ -342,7 +412,36 @@ def train_classifier(
         from fav_tpu.ops.deepaugment import load_augmenter
 
         ae_apply, ae_params = load_augmenter()
-    for i in range(num_steps):
+
+    steps_done = 0
+    idx_it = index_iterator(dataset.train_images.shape[0], batch_size, seed=seed)
+    if megastep > 0:
+        if deepaugment or sam_rho > 0:
+            raise ValueError("megastep supports plain-CE and AugMix objectives only")
+        import numpy as np
+
+        mega = make_train_megastep(
+            model.apply, tx, augmix=augmix, js_lam=js_lam, freq=freq_aug
+        )
+        images_all = jnp.asarray(dataset.train_images)  # resident for the run
+        labels_all = jnp.asarray(dataset.train_labels)
+        while num_steps - steps_done >= megastep:
+            idx_chunk = np.stack([next(idx_it) for _ in range(megastep)]).astype(np.int32)
+            state, key, metrics = mega(
+                state, images_all, labels_all, jnp.asarray(idx_chunk), key
+            )
+            steps_done += megastep
+            if log_every and (
+                steps_done % log_every == 0 or megastep >= log_every
+            ):
+                print(
+                    f"step {steps_done}: loss={float(metrics['loss']):.4f} "
+                    f"acc={float(metrics['accuracy']):.4f}"
+                )
+
+    # per-step path (and megastep tail) continues the SAME shuffle stream
+    it = ((dataset.train_images[idx], dataset.train_labels[idx]) for idx in idx_it)
+    for i in range(steps_done, num_steps):
         images, labels = next(it)
         key, step_key = jax.random.split(key)
         if deepaugment:

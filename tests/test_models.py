@@ -285,3 +285,65 @@ def test_vit_family_full_surface():
     assert jnp.isfinite(metrics["loss"])
     leaf1 = np.asarray(jax.tree_util.tree_leaves(state2.params)[-1])
     assert not np.allclose(leaf0, leaf1)
+
+
+def test_megastep_matches_per_step_loop():
+    """The device-resident K-step scan (train_classifier(megastep=K)) must
+    reproduce the per-step host loop's trajectory — same shuffle stream
+    (data/cifar.index_iterator), same per-step PRNG splits, same step math
+    (shared _*_step_core) — including a tail of remainder steps. One step
+    agrees to ~1e-6 (the residue is XLA fusing the scan body differently
+    than the standalone jit, pure fp reassociation); over 7 steps adamw
+    compounds that to ~1e-3, so the multi-step tolerance is loose while any
+    SEMANTIC divergence (wrong batch, wrong key chain) is orders larger."""
+    from fav_tpu.models.train import train_classifier
+
+    ds = synthetic_cifar10(train_size=96, test_size=8, seed=9)
+    model = create_model(SMALL)
+    # single step: tight bound pins the semantics
+    p1_loop, _ = train_classifier(model, ds, num_steps=1, batch_size=16, seed=3)
+    p1_mega, _ = train_classifier(model, ds, num_steps=1, batch_size=16, seed=3,
+                                  megastep=1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5, rtol=0),
+        p1_loop, p1_mega,
+    )
+    # 7 steps = 2 chunks of 3 + 1 per-step tail: loose bound, full plumbing
+    p_loop, m_loop = train_classifier(model, ds, num_steps=7, batch_size=16, seed=3)
+    p_mega, m_mega = train_classifier(
+        model, ds, num_steps=7, batch_size=16, seed=3, megastep=3
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-2, rtol=0),
+        p_loop, p_mega,
+    )
+    assert m_loop["loss"] == pytest.approx(m_mega["loss"], abs=5e-2)
+
+
+def test_megastep_matches_per_step_loop_augmix():
+    from fav_tpu.models.train import train_classifier
+
+    ds = synthetic_cifar10(train_size=64, test_size=8, seed=9)
+    model = create_model(SMALL)
+    p_loop, _ = train_classifier(
+        model, ds, num_steps=4, batch_size=16, seed=5, augmix=True
+    )
+    p_mega, _ = train_classifier(
+        model, ds, num_steps=4, batch_size=16, seed=5, augmix=True, megastep=4
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-2, rtol=0),
+        p_loop, p_mega,
+    )
+
+
+def test_megastep_rejects_unsupported_objectives():
+    from fav_tpu.models.train import train_classifier
+
+    ds = synthetic_cifar10(train_size=32, test_size=8, seed=9)
+    model = create_model(SMALL)
+    with pytest.raises(ValueError):
+        train_classifier(
+            model, ds, num_steps=2, batch_size=16, seed=0,
+            augmix=True, sam_rho=0.05, megastep=2,
+        )

@@ -1,0 +1,117 @@
+"""A/B the device-resident training megastep vs the per-step host loop on
+TPU (same session — tunnel throughput varies between sessions, CLAUDE.md).
+
+The per-step loop pays, per step: one ~10 ms dispatch + the full batch H2D
+(batch 1024 float32 = 12.6 MB over a ~38 MB/s tunnel). The megastep ships
+the dataset once and uploads only [K, B] int32 indices per K-step program.
+
+Usage: python tools/bench_megatrain.py [--batch 1024] [--steps 40] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--augmix", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.data.cifar import synthetic_cifar10, index_iterator
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.train import (
+        augmix_train_step, classifier_train_step, create_train_state,
+        make_train_megastep,
+    )
+
+    ds = synthetic_cifar10()
+    model = create_model(ModelParams())
+    key = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
+
+    def fresh_state():
+        params = model.init(jax.random.PRNGKey(1), sample)
+        return create_train_state(params, 1e-3)
+
+    lam = jnp.float32(12.0)
+
+    # ── per-step loop (numpy batch -> H2D per step, one dispatch per step) ──
+    state, tx = fresh_state()
+    it = index_iterator(ds.train_images.shape[0], args.batch, seed=0)
+
+    def one_step(state, key):
+        idx = next(it)
+        images, labels = ds.train_images[idx], ds.train_labels[idx]
+        key, sk = jax.random.split(key)
+        if args.augmix:
+            state, m = augmix_train_step(
+                model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), sk, lam
+            )
+        else:
+            state, m = classifier_train_step(
+                model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), sk
+            )
+        return state, key, m
+
+    for _ in range(3):  # warm compiles
+        state, key, m = one_step(state, key)
+    _ = float(m["loss"])  # barrier
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, key, m = one_step(state, key)
+    _ = float(m["loss"])  # device-to-host fetch = completion barrier
+    per_step = (time.perf_counter() - t0) / args.steps
+
+    # ── megastep (dataset resident, [K, B] indices per call) ──
+    state, tx = fresh_state()
+    mega = make_train_megastep(model.apply, tx, augmix=args.augmix)
+    images_all = jnp.asarray(ds.train_images)
+    labels_all = jnp.asarray(ds.train_labels)
+    it = index_iterator(ds.train_images.shape[0], args.batch, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    def one_chunk(state, key):
+        idx = np.stack([next(it) for _ in range(args.k)]).astype(np.int32)
+        return mega(state, images_all, labels_all, jnp.asarray(idx), key)
+
+    state, key, m = one_chunk(state, key)  # warm compile
+    _ = float(m["loss"])
+    n_chunks = max(1, args.steps // args.k)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, key, m = one_chunk(state, key)
+    _ = float(m["loss"])
+    per_step_mega = (time.perf_counter() - t0) / (n_chunks * args.k)
+
+    print({
+        "objective": "augmix" if args.augmix else "ce",
+        "batch": args.batch, "k": args.k, "steps": args.steps,
+        "per_step_loop_ms": round(per_step * 1e3, 1),
+        "megastep_ms_per_step": round(per_step_mega * 1e3, 1),
+        "speedup": round(per_step / per_step_mega, 2),
+        "loop_img_per_s": round(args.batch / per_step),
+        "mega_img_per_s": round(args.batch / per_step_mega),
+    })
+
+
+if __name__ == "__main__":
+    main()
