@@ -23,7 +23,7 @@ import optax
 
 from fav_tpu.data.cifar import batch_iterator
 
-__all__ = ["make_distill_step", "distill_mc_dropout", "make_kd_step", "distill_ensemble"]
+__all__ = ["make_distill_step", "distill_mc_dropout", "make_kd_step", "make_kd_megastep", "distill_ensemble"]
 
 
 def make_distill_step(apply_fn, tx, mc_samples: int, temperature: float = 1.0):
@@ -84,8 +84,17 @@ def make_kd_step(
     CE stays on the clean half only. ``freq=True`` extends the AugMix op
     pool with the spectral band-gain op (weather-axis coverage).
     """
+    core = _kd_step_core(
+        student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix, freq
+    )
+    return jax.jit(core)
 
-    @jax.jit
+
+def _kd_step_core(
+    student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix, freq
+):
+    """KD step math, shared by the per-step jit and the KD megastep scan."""
+
     def step(student_params, opt_state, stacked_teacher, images, labels, key):
         b = images.shape[0]
         if augmix:
@@ -114,6 +123,51 @@ def make_kd_step(
     return step
 
 
+def make_kd_megastep(
+    student_apply,
+    teacher_apply,
+    tx,
+    kd_temperature: float,
+    hard_weight: float,
+    augmix: bool = False,
+    freq: bool = False,
+):
+    """Device-resident K-step KD megastep (same design as
+    ``fav_tpu.models.train.make_train_megastep``): the train set and the
+    stacked teacher stay resident, each call uploads only a [K, B] int32
+    index array and scans K distillation steps in one program. Over the
+    tunneled TPU the per-step host loop paid a full batch H2D per step;
+    this is the same 5-18x wall-clock lever measured in BENCH.md Training.
+
+    Returns ``mega(student, opt_state, stacked_teacher, images_all,
+    labels_all, idx_chunk, key) -> (student, opt_state, key, last_loss)``
+    with (student, opt_state) donated."""
+    import functools
+
+    core = _kd_step_core(
+        student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix, freq
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def mega(student, opt_state, stacked_teacher, images_all, labels_all, idx_chunk, key):
+        def body(carry, idx):
+            st, os_, k = carry
+            k, sub = jax.random.split(k)
+            st, os_, loss = core(
+                st, os_, stacked_teacher,
+                jnp.take(images_all, idx, axis=0),
+                jnp.take(labels_all, idx, axis=0), sub,
+            )
+            return (st, os_, k), loss
+
+        (student, opt_state, key), losses = jax.lax.scan(
+            body, (student, opt_state, key), idx_chunk
+        )
+        return student, opt_state, key, losses[-1]
+
+    return mega
+
+
 def distill_ensemble(
     student_model,
     teacher_apply,
@@ -129,6 +183,7 @@ def distill_ensemble(
     log_every: int = 0,
     augmix: bool = False,
     freq: bool = False,
+    megastep: int = 0,
 ) -> Any:
     """Distill a deep ensemble into a (typically *smaller*) student.
 
@@ -137,19 +192,47 @@ def distill_ensemble(
     ensemble's decision surface at a fraction of the serving FLOPs. This is
     the TPU-first deployment shape: one dense compact forward that keeps
     the MXU busy instead of M full-size members.
-    """
+
+    ``megastep=K`` runs the bulk of distillation as device-resident K-step
+    scans (:func:`make_kd_megastep`) — same trajectory, none of the
+    per-step dispatch + batch-upload cost; remainder steps fall through to
+    the per-step loop on the same shuffle stream and key chain."""
+    import numpy as np
+
+    from fav_tpu.data.cifar import index_iterator
+
     sample = jnp.zeros((1,) + images.shape[1:], jnp.float32)
     student = student_model.init(jax.random.PRNGKey(seed + 3), sample)
     tx = optax.adamw(learning_rate)
     opt_state = tx.init(student)
+    key = jax.random.PRNGKey(seed + 29)
+    idx_it = index_iterator(images.shape[0], batch_size, seed=seed)
+
+    steps_done = 0
+    if megastep > 0:
+        mega = make_kd_megastep(
+            student_model.apply, teacher_apply, tx, kd_temperature, hard_weight,
+            augmix=augmix, freq=freq,
+        )
+        images_all = jnp.asarray(images)
+        labels_all = jnp.asarray(labels)
+        while num_steps - steps_done >= megastep:
+            idx_chunk = np.stack([next(idx_it) for _ in range(megastep)]).astype(np.int32)
+            student, opt_state, key, loss = mega(
+                student, opt_state, stacked_teacher, images_all, labels_all,
+                jnp.asarray(idx_chunk), key,
+            )
+            steps_done += megastep
+            if log_every and (steps_done % log_every == 0 or megastep >= log_every):
+                print(f"kd step {steps_done}: loss {float(loss):.4f}")
+
     step = make_kd_step(
         student_model.apply, teacher_apply, tx, kd_temperature, hard_weight,
         augmix=augmix, freq=freq,
     )
-    it = batch_iterator(images, labels, batch_size, seed=seed)
-    key = jax.random.PRNGKey(seed + 29)
-    for i in range(num_steps):
-        x, y = next(it)
+    for i in range(steps_done, num_steps):
+        idx = next(idx_it)
+        x, y = images[idx], labels[idx]
         key, sub = jax.random.split(key)
         student, opt_state, loss = step(
             student, opt_state, stacked_teacher, jnp.asarray(x), jnp.asarray(y), sub

@@ -260,7 +260,7 @@ def _distill_ensemble(args) -> dict:
         ds.train_images, ds.train_labels,
         num_steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
         kd_temperature=args.kd_temperature, seed=args.seed, log_every=args.log_every,
-        augmix=args.augmix, freq=args.freqband,
+        augmix=args.augmix, freq=args.freqband, megastep=args.megastep,
     )
 
     n_val = ds.test_images.shape[0] // 2
@@ -393,9 +393,9 @@ def main(argv=None) -> dict:
                      "single-model JS-consistency objective)")
 
     if args.megastep and (args.ensemble or args.sam > 0 or args.deepaugment
-                          or args.distill_mc or args.distill_ensemble
-                          or args.autoencoder):
-        parser.error("--megastep covers single-model plain-CE/AugMix training")
+                          or args.distill_mc or args.autoencoder):
+        parser.error("--megastep covers single-model plain-CE/AugMix training "
+                     "and --distill-ensemble KD")
 
     if args.autoencoder:
         return _pretrain_autoencoder(args)

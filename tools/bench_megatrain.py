@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--augmix", action="store_true")
+    ap.add_argument("--kd", action="store_true",
+                    help="A/B ensemble-KD distillation (5-member config-scale "
+                         "teacher -> half-width student) instead of classifier "
+                         "training")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +48,8 @@ def main() -> None:
     )
 
     ds = synthetic_cifar10()
+    if args.kd:
+        return bench_kd(args, ds)
     model = create_model(ModelParams())
     key = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
@@ -104,6 +110,87 @@ def main() -> None:
 
     print({
         "objective": "augmix" if args.augmix else "ce",
+        "batch": args.batch, "k": args.k, "steps": args.steps,
+        "per_step_loop_ms": round(per_step * 1e3, 1),
+        "megastep_ms_per_step": round(per_step_mega * 1e3, 1),
+        "speedup": round(per_step / per_step_mega, 2),
+        "loop_img_per_s": round(args.batch / per_step),
+        "mega_img_per_s": round(args.batch / per_step_mega),
+    })
+
+
+def bench_kd(args, ds) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.data.cifar import index_iterator
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.distill import make_kd_step, make_kd_megastep
+    from fav_tpu.models.uncertainty import init_ensemble
+
+    t_mp = ModelParams()
+    teacher = create_model(t_mp)
+    sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    stacked = init_ensemble(teacher, jax.random.PRNGKey(0), sample, 5)
+    widths = tuple(w // 2 for w in t_mp.widths)
+    s_mp = ModelParams(widths=widths, dense_width=widths[-1])
+    student_model = create_model(s_mp)
+    tx = optax.adamw(1e-3)
+
+    def fresh():
+        st = student_model.init(jax.random.PRNGKey(3), sample)
+        return st, tx.init(st)
+
+    # per-step loop (numpy batch -> H2D per step)
+    student, opt_state = fresh()
+    step = make_kd_step(student_model.apply, teacher.apply, tx, 2.0, 0.3,
+                        augmix=args.augmix)
+    it = index_iterator(ds.train_images.shape[0], args.batch, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    def one_step(student, opt_state, key):
+        idx = next(it)
+        key, sub = jax.random.split(key)
+        return (*step(student, opt_state, stacked,
+                      jnp.asarray(ds.train_images[idx]),
+                      jnp.asarray(ds.train_labels[idx]), sub), key)
+
+    for _ in range(3):
+        student, opt_state, loss, key = one_step(student, opt_state, key)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        student, opt_state, loss, key = one_step(student, opt_state, key)
+    _ = float(loss)
+    per_step = (time.perf_counter() - t0) / args.steps
+
+    # megastep
+    student, opt_state = fresh()
+    mega = make_kd_megastep(student_model.apply, teacher.apply, tx, 2.0, 0.3,
+                            augmix=args.augmix)
+    images_all = jnp.asarray(ds.train_images)
+    labels_all = jnp.asarray(ds.train_labels)
+    it = index_iterator(ds.train_images.shape[0], args.batch, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    def one_chunk(student, opt_state, key):
+        idx = np.stack([next(it) for _ in range(args.k)]).astype(np.int32)
+        return mega(student, opt_state, stacked, images_all, labels_all,
+                    jnp.asarray(idx), key)
+
+    student, opt_state, key, loss = one_chunk(student, opt_state, key)
+    _ = float(loss)
+    n_chunks = max(1, args.steps // args.k)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        student, opt_state, key, loss = one_chunk(student, opt_state, key)
+    _ = float(loss)
+    per_step_mega = (time.perf_counter() - t0) / (n_chunks * args.k)
+
+    print({
+        "objective": "kd+augmix" if args.augmix else "kd",
         "batch": args.batch, "k": args.k, "steps": args.steps,
         "per_step_loop_ms": round(per_step * 1e3, 1),
         "megastep_ms_per_step": round(per_step_mega * 1e3, 1),
