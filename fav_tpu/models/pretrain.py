@@ -30,8 +30,12 @@ def _train_ensemble(model, ds, args):
     import jax.numpy as jnp
     import optax
 
-    from fav_tpu.data.cifar import batch_iterator
-    from fav_tpu.models.train import TrainState, make_ensemble_train_step
+    from fav_tpu.data.cifar import index_iterator
+    from fav_tpu.models.train import (
+        TrainState,
+        make_ensemble_megastep,
+        make_ensemble_train_step,
+    )
     from fav_tpu.models.uncertainty import init_ensemble
 
     sample = jnp.zeros((1,) + ds.train_images.shape[1:], jnp.float32)
@@ -41,7 +45,7 @@ def _train_ensemble(model, ds, args):
         stacked, jax.vmap(tx.init)(stacked), jnp.zeros((args.ensemble,), jnp.int32)
     )
 
-    place_batch = jnp.asarray
+    place_batch = place_data = jnp.asarray
     if getattr(args, "shard", False) and jax.device_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -56,21 +60,48 @@ def _train_ensemble(model, ds, args):
         states = jax.tree.map(lambda leaf: jax.device_put(leaf, ens_spec(leaf)), states)
         data_sh = NamedSharding(mesh, P("data", *([None] * 3)))
         lbl_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
 
         def place_batch(a):  # noqa: F811 — sharded variant
             a = jnp.asarray(a)
             return jax.device_put(a, data_sh if a.ndim == 4 else lbl_sh)
 
-    step = make_ensemble_train_step(
-        model.apply, tx,
+        def place_data(a):  # noqa: F811 — resident set is replicated
+            return jax.device_put(jnp.asarray(a), repl)
+
+    aug_kwargs = dict(
         augmix=getattr(args, "augmix", False) or getattr(args, "augmix_ce", False),
         js_lam=getattr(args, "js_lam", 12.0),
         augmix_mode="ce" if getattr(args, "augmix_ce", False) else "js",
     )
-    it = batch_iterator(ds.train_images, ds.train_labels, args.batch, seed=args.seed)
+    # both paths draw batches from ONE index stream (and one split of the
+    # chain key per step), so per-step and megastep trajectories match
+    idx_it = index_iterator(ds.train_images.shape[0], args.batch, seed=args.seed)
     key = jax.random.PRNGKey(args.seed + 1)
-    for i in range(args.steps):
-        x, y = next(it)
+    steps_done = 0
+    megastep = getattr(args, "megastep", 0)
+    if megastep > 0:
+        import numpy as np
+
+        mega = make_ensemble_megastep(model.apply, tx, **aug_kwargs)
+        images_all = place_data(ds.train_images)
+        labels_all = place_data(ds.train_labels)
+        while args.steps - steps_done >= megastep:
+            idx_chunk = np.stack([next(idx_it) for _ in range(megastep)]).astype(np.int32)
+            states, key, metrics = mega(
+                states, images_all, labels_all, jnp.asarray(idx_chunk), key
+            )
+            steps_done += megastep
+            if args.log_every and (
+                steps_done % args.log_every == 0 or megastep >= args.log_every
+            ):
+                print(f"step {steps_done}: member losses "
+                      f"{[round(float(l),4) for l in metrics['loss']]}")
+
+    step = make_ensemble_train_step(model.apply, tx, **aug_kwargs)
+    for i in range(steps_done, args.steps):
+        idx = next(idx_it)
+        x, y = ds.train_images[idx], ds.train_labels[idx]
         key, sub = jax.random.split(key)
         states, metrics = step(states, place_batch(x), place_batch(y), sub)
         if args.log_every and (i + 1) % args.log_every == 0:
@@ -364,8 +395,9 @@ def main(argv=None) -> dict:
                         help="run training as device-resident K-step scans "
                              "(one program, dataset resident on device, "
                              "indices-only upload; identical trajectory to "
-                             "the per-step loop). Plain-CE/AugMix single "
-                             "models only")
+                             "the per-step loop). Covers every objective: "
+                             "plain CE, AugMix, SAM, DeepAugment, ensembles "
+                             "and --distill-ensemble KD")
     parser.add_argument("--deepaugment", action="store_true",
                         help="route the second AugMix view through the "
                              "perturbed-weights autoencoder (DeepAugment; "
@@ -392,10 +424,9 @@ def main(argv=None) -> dict:
         parser.error("--augmix-ce requires --ensemble (use --augmix for the "
                      "single-model JS-consistency objective)")
 
-    if args.megastep and (args.ensemble or args.sam > 0 or args.deepaugment
-                          or args.distill_mc or args.autoencoder):
-        parser.error("--megastep covers single-model plain-CE/AugMix training "
-                     "and --distill-ensemble KD")
+    if args.megastep and (args.distill_mc or args.autoencoder):
+        parser.error("--megastep does not cover --distill-mc/--autoencoder "
+                     "(their per-step loops are not index-stream based)")
 
     if args.autoencoder:
         return _pretrain_autoencoder(args)

@@ -31,6 +31,7 @@ __all__ = [
     "sam_augmix_train_step",
     "autoencoder_train_step",
     "make_ensemble_train_step",
+    "make_ensemble_megastep",
     "make_train_megastep",
     "train_classifier",
     "train_autoencoder",
@@ -147,6 +148,15 @@ def deepaugment_train_step(
     cannot express (a weather-family candidate — fav_tpu/ops/deepaugment.py;
     measured a negative result on the weather grid, BENCH.md round 3).
     Same one-[3B] forward + JS objective as :func:`augmix_train_step`."""
+    return _deepaugment_step_core(
+        apply_fn, ae_apply, tx, state, images, labels, key, js_lam, ae_params, freq
+    )
+
+
+def _deepaugment_step_core(
+    apply_fn, ae_apply, tx, state, images, labels, key, js_lam, ae_params, freq
+):
+    """DeepAugment step math, shared by the per-step jit and the megastep scan."""
     from fav_tpu.ops.augment import augmix, js_consistency
     from fav_tpu.ops.deepaugment import deepaugment
 
@@ -191,6 +201,11 @@ def sam_augmix_train_step(
     worst nearby weights, take the real update from the gradient *there*.
     Two backward passes through the same compiled program — flat minima are
     the complementary robustness lever to input-space augmentation."""
+    return _sam_step_core(apply_fn, tx, state, images, labels, key, js_lam, rho)
+
+
+def _sam_step_core(apply_fn, tx, state, images, labels, key, js_lam, rho):
+    """SAM+AugMix step math, shared by the per-step jit and the megastep scan."""
     from fav_tpu.ops.augment import augmix, js_consistency
 
     k1, k2, kd = jax.random.split(key, 3)
@@ -237,6 +252,9 @@ def make_train_megastep(
     augmix: bool = False,
     js_lam: float = 12.0,
     freq: bool = False,
+    sam_rho: float = 0.0,
+    deepaugment: bool = False,
+    ae_apply: Callable | None = None,
 ):
     """Device-resident training megastep: ``lax.scan`` over K optimizer steps
     in ONE jitted program, batches gathered on-device from the resident
@@ -255,20 +273,37 @@ def make_train_megastep(
     standalone step) — pinned by
     tests/test_models.py::test_megastep_matches_per_step_loop.
 
-    Returns ``megastep(state, images_all, labels_all, idx_chunk, key) ->
-    (state, key, last_step_metrics)`` with ``state`` donated; thread the
-    returned key into the next call (it has advanced by K splits, matching
-    the host loop's split-per-step)."""
+    Covers every single-model objective: plain CE, AugMix, SAM+AugMix
+    (``sam_rho > 0``) and DeepAugment (``deepaugment=True`` with
+    ``ae_apply``; the perturbed-weights AE rides inside the scan body, so
+    its params must be passed resident via ``ae_params``).
+
+    Returns ``megastep(state, images_all, labels_all, idx_chunk, key,
+    ae_params=None) -> (state, key, last_step_metrics)`` with ``state``
+    donated; thread the returned key into the next call (it has advanced by
+    K splits, matching the host loop's split-per-step)."""
     lam = jnp.float32(js_lam)
+    rho = jnp.float32(sam_rho)
+    if deepaugment and ae_apply is None:
+        raise ValueError("deepaugment=True requires ae_apply")
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def megastep(state, images_all, labels_all, idx_chunk, key):
+    def megastep(state, images_all, labels_all, idx_chunk, key, ae_params=None):
         def body(carry, idx):
             st, k = carry
             k, step_key = jax.random.split(k)
             images = jnp.take(images_all, idx, axis=0)
             labels = jnp.take(labels_all, idx, axis=0)
-            if augmix:
+            if deepaugment:
+                st, metrics = _deepaugment_step_core(
+                    apply_fn, ae_apply, tx, st, images, labels, step_key, lam,
+                    ae_params, freq,
+                )
+            elif augmix and sam_rho > 0:
+                st, metrics = _sam_step_core(
+                    apply_fn, tx, st, images, labels, step_key, lam, rho
+                )
+            elif augmix:
                 st, metrics = _augmix_step_core(
                     apply_fn, tx, st, images, labels, step_key, lam, freq
                 )
@@ -302,25 +337,15 @@ def autoencoder_train_step(
     return TrainState(params, opt_state, state.step + 1), {"loss": loss}
 
 
-def make_ensemble_train_step(
+def _ensemble_member_step(
     apply_fn: Callable,
     tx: optax.GradientTransformation,
     augmix: bool = False,
     js_lam: float = 12.0,
     augmix_mode: str = "js",
 ):
-    """Train-step over stacked ensemble params: vmap of the single-member
-    update. Each member sees the same batch but independent dropout keys
-    (bagging comes from independent inits — the standard deep-ensembles
-    recipe). The member axis is shardable over the mesh.
-
-    ``augmix=True`` switches each member to AugMix training with
-    member-independent augmentation draws. ``augmix_mode='js'`` is the
-    canonical consistency objective; ``'ce'`` trains plain CE on
-    [clean; augmented] views instead — no consistency term, so members
-    are NOT pulled toward the same invariant predictive and the
-    ensemble's diversity advantage is preserved (the JS term measurably
-    correlates members, BENCH.md Quality)."""
+    """Single-member update used (vmapped) by both the per-step ensemble
+    train step and the ensemble megastep scan."""
 
     def member_step(state: TrainState, images, labels, key):
         if augmix and augmix_mode == "ce":
@@ -358,6 +383,29 @@ def make_ensemble_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), {"loss": loss, "accuracy": acc}
 
+    return member_step
+
+
+def make_ensemble_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    augmix: bool = False,
+    js_lam: float = 12.0,
+    augmix_mode: str = "js",
+):
+    """Train-step over stacked ensemble params: vmap of the single-member
+    update. Each member sees the same batch but independent dropout keys
+    (bagging comes from independent inits — the standard deep-ensembles
+    recipe). The member axis is shardable over the mesh.
+
+    ``augmix=True`` switches each member to AugMix training with
+    member-independent augmentation draws. ``augmix_mode='js'`` is the
+    canonical consistency objective; ``'ce'`` trains plain CE on
+    [clean; augmented] views instead — no consistency term, so members
+    are NOT pulled toward the same invariant predictive and the
+    ensemble's diversity advantage is preserved (the JS term measurably
+    correlates members, BENCH.md Quality)."""
+    member_step = _ensemble_member_step(apply_fn, tx, augmix, js_lam, augmix_mode)
     vstep = jax.vmap(member_step, in_axes=(0, None, None, 0))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -366,6 +414,47 @@ def make_ensemble_train_step(
         return vstep(states, images, labels, keys)
 
     return step
+
+
+def make_ensemble_megastep(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    augmix: bool = False,
+    js_lam: float = 12.0,
+    augmix_mode: str = "js",
+):
+    """Device-resident K-step ensemble megastep: ``lax.scan`` over K vmapped
+    member updates with the train set resident, indices-only upload — the
+    same wall-clock lever as :func:`make_train_megastep` applied to the
+    stacked-params ensemble (the KD teacher recipe). Key discipline matches
+    the per-step host loop exactly: one ``split`` of the chain key per step,
+    then a per-member fan-out inside the step — so per-step and megastep
+    trajectories are equivalent (pinned by tests/test_models.py).
+
+    The member axis of ``states`` stays shardable over the mesh's ensemble
+    axis; the resident dataset is replicated (it is read-only inside the
+    scan, XLA keeps one copy per device group).
+
+    Returns ``megastep(states, images_all, labels_all, idx_chunk, key) ->
+    (states, key, last_step_metrics)`` with ``states`` donated."""
+    member_step = _ensemble_member_step(apply_fn, tx, augmix, js_lam, augmix_mode)
+    vstep = jax.vmap(member_step, in_axes=(0, None, None, 0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def megastep(states: TrainState, images_all, labels_all, idx_chunk, key):
+        def body(carry, idx):
+            sts, k = carry
+            k, sub = jax.random.split(k)
+            keys = jax.random.split(sub, sts.step.shape[0])
+            images = jnp.take(images_all, idx, axis=0)
+            labels = jnp.take(labels_all, idx, axis=0)
+            sts, metrics = vstep(sts, images, labels, keys)
+            return (sts, k), metrics
+
+        (states, key), metrics = jax.lax.scan(body, (states, key), idx_chunk)
+        return states, key, jax.tree.map(lambda x: x[-1], metrics)
+
+    return megastep
 
 
 def train_classifier(
@@ -391,11 +480,11 @@ def train_classifier(
     ``deepaugment=True`` routes the second view through the
     perturbed-weights autoencoder (``deepaugment_train_step``).
 
-    ``megastep=K`` (plain-CE / AugMix only) runs the bulk of training as
-    device-resident K-step scans (``make_train_megastep``) — identical
-    trajectory, none of the per-step dispatch + batch-upload cost; any
-    remainder steps fall through to the per-step loop below, continuing the
-    same shuffle stream and key chain."""
+    ``megastep=K`` runs the bulk of training as device-resident K-step
+    scans (``make_train_megastep``; every objective — plain CE, AugMix,
+    SAM, DeepAugment) — identical trajectory, none of the per-step dispatch
+    + batch-upload cost; any remainder steps fall through to the per-step
+    loop below, continuing the same shuffle stream and key chain."""
     from fav_tpu.data.cifar import index_iterator
 
     key = jax.random.PRNGKey(seed)
@@ -416,19 +505,19 @@ def train_classifier(
     steps_done = 0
     idx_it = index_iterator(dataset.train_images.shape[0], batch_size, seed=seed)
     if megastep > 0:
-        if deepaugment or sam_rho > 0:
-            raise ValueError("megastep supports plain-CE and AugMix objectives only")
         import numpy as np
 
         mega = make_train_megastep(
-            model.apply, tx, augmix=augmix, js_lam=js_lam, freq=freq_aug
+            model.apply, tx, augmix=augmix, js_lam=js_lam, freq=freq_aug,
+            sam_rho=sam_rho, deepaugment=deepaugment, ae_apply=ae_apply,
         )
         images_all = jnp.asarray(dataset.train_images)  # resident for the run
         labels_all = jnp.asarray(dataset.train_labels)
         while num_steps - steps_done >= megastep:
             idx_chunk = np.stack([next(idx_it) for _ in range(megastep)]).astype(np.int32)
             state, key, metrics = mega(
-                state, images_all, labels_all, jnp.asarray(idx_chunk), key
+                state, images_all, labels_all, jnp.asarray(idx_chunk), key,
+                ae_params,
             )
             steps_done += megastep
             if log_every and (

@@ -91,6 +91,57 @@ def test_deepaugment_train_step_runs_and_learns(ae):
     assert losses[-1] < losses[0]  # memorizing 16 images must reduce loss
 
 
+@pytest.mark.slow
+def test_deepaugment_megastep_matches_per_step(ae):
+    """The widened megastep's DeepAugment branch (AE params resident,
+    passed per call) reproduces the per-step deepaugment_train_step chain."""
+    import optax
+
+    from fav_tpu.models.train import (
+        TrainState,
+        deepaugment_train_step,
+        make_train_megastep,
+    )
+
+    ae_model, ae_params = ae
+    model = create_model(ModelParams(widths=(8, 16), dense_width=16,
+                                     compute_dtype="float32"))
+    images = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(7), (32, 32, 32, 3), jnp.float32), 0, 1
+    )
+    labels = jnp.arange(32, dtype=jnp.int32) % 10
+    params = model.init(jax.random.PRNGKey(0), images[:1])
+    tx = optax.adamw(1e-3)
+    lam = jnp.float32(12.0)
+    idx = np.stack([np.arange(16), np.arange(16, 32), np.arange(16)]).astype(np.int32)
+
+    state = TrainState(jax.tree.map(jnp.copy, params), tx.init(params),
+                       jnp.zeros((), jnp.int32))
+    key = jax.random.PRNGKey(11)
+    for row in idx:
+        key, step_key = jax.random.split(key)
+        state, _ = deepaugment_train_step(
+            model.apply, ae_model.apply, tx, state,
+            images[row], labels[row], step_key, lam, ae_params,
+        )
+
+    mega = make_train_megastep(
+        model.apply, tx, augmix=True, js_lam=12.0,
+        deepaugment=True, ae_apply=ae_model.apply,
+    )
+    state2 = TrainState(jax.tree.map(jnp.copy, params), tx.init(params),
+                        jnp.zeros((), jnp.int32))
+    state2, key2, metrics = mega(
+        state2, images, labels, jnp.asarray(idx), jax.random.PRNGKey(11), ae_params
+    )
+    np.testing.assert_array_equal(np.asarray(key), np.asarray(key2))
+    assert int(state2.step) == 3 and np.isfinite(float(metrics["loss"]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-2, rtol=0),
+        state.params, state2.params,
+    )
+
+
 def test_cli_deepaugment_requires_single_model():
     from fav_tpu.models.pretrain import main
 

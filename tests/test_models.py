@@ -337,13 +337,71 @@ def test_megastep_matches_per_step_loop_augmix():
     )
 
 
-def test_megastep_rejects_unsupported_objectives():
+def test_megastep_matches_per_step_loop_sam():
+    """SAM+AugMix through the megastep (round 3 widened the megastep to
+    every single-model objective) reproduces the per-step SAM loop."""
     from fav_tpu.models.train import train_classifier
 
-    ds = synthetic_cifar10(train_size=32, test_size=8, seed=9)
+    ds = synthetic_cifar10(train_size=64, test_size=8, seed=9)
     model = create_model(SMALL)
-    with pytest.raises(ValueError):
-        train_classifier(
-            model, ds, num_steps=2, batch_size=16, seed=0,
-            augmix=True, sam_rho=0.05, megastep=2,
+    p_loop, _ = train_classifier(
+        model, ds, num_steps=3, batch_size=16, seed=5, augmix=True, sam_rho=0.05
+    )
+    p_mega, _ = train_classifier(
+        model, ds, num_steps=3, batch_size=16, seed=5, augmix=True, sam_rho=0.05,
+        megastep=3,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-2, rtol=0),
+        p_loop, p_mega,
+    )
+
+
+def test_ensemble_megastep_matches_per_step():
+    """The ensemble megastep (lax.scan over K vmapped member updates with
+    the train set resident) reproduces the per-step ensemble loop: same
+    index stream, same one-split-per-step key chain, same member fan-out."""
+    import optax
+
+    from fav_tpu.data.cifar import index_iterator
+    from fav_tpu.models.train import (
+        TrainState,
+        make_ensemble_megastep,
+        make_ensemble_train_step,
+    )
+    from fav_tpu.models.uncertainty import init_ensemble
+
+    ds = synthetic_cifar10(train_size=64, test_size=8, seed=9)
+    model = create_model(SMALL)
+    stacked = init_ensemble(model, jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), 2)
+    tx = optax.adamw(1e-3)
+
+    def fresh():
+        params = jax.tree.map(jnp.copy, stacked)
+        return TrainState(params, jax.vmap(tx.init)(params), jnp.zeros((2,), jnp.int32))
+
+    step = make_ensemble_train_step(model.apply, tx)
+    states = fresh()
+    key = jax.random.PRNGKey(7)
+    idx_it = index_iterator(64, 16, seed=1)
+    for _ in range(4):
+        idx = next(idx_it)
+        key, sub = jax.random.split(key)
+        states, _ = step(
+            states, jnp.asarray(ds.train_images[idx]),
+            jnp.asarray(ds.train_labels[idx]), sub,
         )
+
+    mega = make_ensemble_megastep(model.apply, tx)
+    idx_it2 = index_iterator(64, 16, seed=1)
+    chunk = np.stack([next(idx_it2) for _ in range(4)]).astype(np.int32)
+    states2, key2, metrics = mega(
+        fresh(), jnp.asarray(ds.train_images), jnp.asarray(ds.train_labels),
+        jnp.asarray(chunk), jax.random.PRNGKey(7),
+    )
+    np.testing.assert_array_equal(np.asarray(key), np.asarray(key2))
+    assert int(states2.step[0]) == 4 and metrics["loss"].shape == (2,)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-2, rtol=0),
+        states.params, states2.params,
+    )

@@ -252,7 +252,10 @@ def test_evaluate_cli_smoke(tmp_path):
 @pytest.mark.slow
 def test_pretrain_ensemble_sharded_smoke(tmp_path):
     """--shard trains member-per-device over the 8-device virtual mesh
-    (2 data x 4 ensemble) and the checkpoint round-trips into serving."""
+    (2 data x 4 ensemble) and the checkpoint round-trips into serving.
+    (The sharded *megastep* variant is covered by the direct
+    tests/test_parallel.py::test_ensemble_megastep_sharded — a CLI-scale
+    run costs minutes on the threaded virtual mesh.)"""
     from fav_tpu.models import pretrain
     from fav_tpu.serving.inference import InferenceService
 
@@ -280,13 +283,17 @@ def test_pretrain_ensemble_sharded_smoke(tmp_path):
 
 @pytest.mark.slow
 def test_pretrain_ensemble_smoke(tmp_path):
-    """Ensemble pretrain -> stacked checkpoint -> ensemble-mode serving."""
+    """Ensemble pretrain -> stacked checkpoint -> ensemble-mode serving.
+    ``--megastep 5`` routes 10 of the 13 steps through the device-resident
+    ensemble megastep (2 chunks) and the last 3 through the per-step tail —
+    the full CLI plumbing of both paths on one shuffle stream."""
     from fav_tpu.models import pretrain
     from fav_tpu.serving.inference import InferenceService
 
     out = str(tmp_path / "ens")
     metrics = pretrain.main(
-        ["--steps", "30", "--batch", "64", "--ensemble", "2", "--widths", "8,16", "--out", out, "--log-every", "0"]
+        ["--steps", "13", "--batch", "64", "--ensemble", "2", "--widths", "8,16",
+         "--megastep", "5", "--out", out, "--log-every", "0"]
     )
     assert metrics["ensemble_size"] == 2
     service = InferenceService(
