@@ -67,6 +67,7 @@ def make_kd_step(
     hard_weight: float,
     augmix: bool = False,
     freq: bool = False,
+    occlude: bool = False,
 ):
     """One jitted knowledge-distillation step from a stacked-params ensemble.
 
@@ -82,16 +83,19 @@ def make_kd_step(
     (fav_tpu/ops/augment.py): the student learns the teacher's soft labels
     on the augmented manifold too, so robustness transfers — the hard-label
     CE stays on the clean half only. ``freq=True`` extends the AugMix op
-    pool with the spectral band-gain op (weather-axis coverage).
+    pool with the spectral band-gain op (weather-axis coverage);
+    ``occlude=True`` with the rectangular occlusion op (snow-axis coverage).
     """
     core = _kd_step_core(
-        student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix, freq
+        student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix,
+        freq, occlude,
     )
     return jax.jit(core)
 
 
 def _kd_step_core(
-    student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix, freq
+    student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix,
+    freq, occlude=False,
 ):
     """KD step math, shared by the per-step jit and the KD megastep scan."""
 
@@ -100,7 +104,9 @@ def _kd_step_core(
         if augmix:
             from fav_tpu.ops.augment import augmix as _augmix
 
-            inp = jnp.concatenate([images, _augmix(key, images, freq=freq)], axis=0)
+            inp = jnp.concatenate(
+                [images, _augmix(key, images, freq=freq, occlude=occlude)], axis=0
+            )
         else:
             inp = images
         member_logits = jax.vmap(lambda p: teacher_apply(p, inp))(stacked_teacher)
@@ -131,6 +137,7 @@ def make_kd_megastep(
     hard_weight: float,
     augmix: bool = False,
     freq: bool = False,
+    occlude: bool = False,
 ):
     """Device-resident K-step KD megastep (same design as
     ``fav_tpu.models.train.make_train_megastep``): the train set and the
@@ -145,7 +152,8 @@ def make_kd_megastep(
     import functools
 
     core = _kd_step_core(
-        student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix, freq
+        student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix,
+        freq, occlude,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -183,6 +191,7 @@ def distill_ensemble(
     log_every: int = 0,
     augmix: bool = False,
     freq: bool = False,
+    occlude: bool = False,
     megastep: int = 0,
 ) -> Any:
     """Distill a deep ensemble into a (typically *smaller*) student.
@@ -212,7 +221,7 @@ def distill_ensemble(
     if megastep > 0:
         mega = make_kd_megastep(
             student_model.apply, teacher_apply, tx, kd_temperature, hard_weight,
-            augmix=augmix, freq=freq,
+            augmix=augmix, freq=freq, occlude=occlude,
         )
         images_all = jnp.asarray(images)
         labels_all = jnp.asarray(labels)
@@ -228,7 +237,7 @@ def distill_ensemble(
 
     step = make_kd_step(
         student_model.apply, teacher_apply, tx, kd_temperature, hard_weight,
-        augmix=augmix, freq=freq,
+        augmix=augmix, freq=freq, occlude=occlude,
     )
     for i in range(steps_done, num_steps):
         idx = next(idx_it)

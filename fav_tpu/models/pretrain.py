@@ -291,7 +291,8 @@ def _distill_ensemble(args) -> dict:
         ds.train_images, ds.train_labels,
         num_steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
         kd_temperature=args.kd_temperature, seed=args.seed, log_every=args.log_every,
-        augmix=args.augmix, freq=args.freqband, megastep=args.megastep,
+        augmix=args.augmix, freq=args.freqband, occlude=args.occlude,
+        megastep=args.megastep,
     )
 
     n_val = ds.test_images.shape[0] // 2
@@ -324,6 +325,7 @@ def _distill_ensemble(args) -> dict:
         "kd_temperature": args.kd_temperature,
         **({"augmix_distill": True} if args.augmix else {}),
         **({"freqband": True} if args.freqband else {}),
+        **({"occlude": True} if args.occlude else {}),
         "ensemble_size": None,
         "arch": s_mp.arch,
         "widths": list(s_mp.widths),
@@ -391,6 +393,12 @@ def main(argv=None) -> dict:
                              "pool (weather-axis coverage: fog shifts the "
                              "low-frequency energy fraction 0.07->0.87 and "
                              "no base op is spectral; implies --augmix)")
+    parser.add_argument("--occlude", action="store_true",
+                        help="add the rectangular occlusion op (Cutout / "
+                             "Random Erasing) to the AugMix pool (snow-axis "
+                             "coverage: snow's failure mechanism is streak "
+                             "occlusion and no base op removes information; "
+                             "implies --augmix)")
     parser.add_argument("--megastep", type=int, default=0, metavar="K",
                         help="run training as device-resident K-step scans "
                              "(one program, dataset resident on device, "
@@ -417,6 +425,10 @@ def main(argv=None) -> dict:
         if args.ensemble:
             parser.error("--freqband is single-model or KD only for now")
         args.augmix = True  # the spectral op rides the AugMix chain
+    if args.occlude:
+        if args.ensemble:
+            parser.error("--occlude is single-model or KD only for now")
+        args.augmix = True  # the occlusion op rides the AugMix chain
 
     if args.augmix_ce and not args.ensemble:
         # --augmix-ce is an ensemble-only objective; alone it would silently
@@ -470,7 +482,7 @@ def main(argv=None) -> dict:
             learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
             augmix=args.augmix, js_lam=args.js_lam, sam_rho=args.sam,
             deepaugment=args.deepaugment, freq_aug=args.freqband,
-            megastep=args.megastep,
+            occlude_aug=args.occlude, megastep=args.megastep,
         )
 
     # held-out split: half for temperature fitting, half for reporting
@@ -525,6 +537,7 @@ def main(argv=None) -> dict:
         **({"sam_rho": args.sam} if args.sam else {}),
         **({"deepaugment": True} if args.deepaugment else {}),
         **({"freqband": True} if args.freqband else {}),
+        **({"occlude": True} if args.occlude else {}),
         # serving rebuilds the exact architecture from these — a template
         # mismatch must be impossible, not silently tolerated
         "arch": mp.arch,

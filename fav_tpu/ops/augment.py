@@ -170,22 +170,68 @@ def _freq_band(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
     return jnp.clip(out, 0.0, 1.0)
 
 
+def _occlude(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
+    """Random rectangular occlusions (Cutout, DeVries & Taylor 2017 /
+    Random Erasing, Zhong et al. 2020): blank out up to 2 axis-aligned
+    rectangles per image with random constant fills.
+
+    Why (round-3 snow work): snow is the one structural robustness floor
+    (0.43-0.48 for every model, BENCH.md) and its failure mechanism is
+    *occlusion* — bright streak overlays hide content. No base AugMix op
+    removes information (geometry and photometrics are invertible-ish), so
+    occlusion robustness is never trained. Constant-fill rectangles are the
+    standard leak-free analog: no corruption formula in the 15-cell grid
+    (fav_tpu/ops/corruptions.py) draws axis-aligned constant rectangles —
+    snow/frost are motion-streak / crystal-texture overlays.
+
+    TPU shape: broadcast compares build the rectangle masks — no gathers,
+    no control flow. Strict ``<`` keeps exact identity at mag 0 (gated-off
+    images are untouched bit-for-bit)."""
+    b, h, w, _ = x.shape
+    n_rect = 2
+    kc, ks, kv = jax.random.split(key, 3)
+    ctr = jax.random.uniform(kc, (b, n_rect, 2), jnp.float32)  # centers in [0,1]
+    half = (
+        jax.random.uniform(ks, (b, n_rect, 2), jnp.float32)
+        * (0.30 * mag)[:, None, None]
+    )  # half-extents as a fraction of the side; 0 at mag 0
+    val = jax.random.uniform(kv, (b, n_rect), jnp.float32)
+    ys = (jnp.arange(h, dtype=jnp.float32) / (h - 1))[None, None, :]  # [1,1,H]
+    xs = (jnp.arange(w, dtype=jnp.float32) / (w - 1))[None, None, :]  # [1,1,W]
+    in_y = jnp.abs(ys - ctr[:, :, 0:1]) < half[:, :, 0:1]  # [B,R,H]
+    in_x = jnp.abs(xs - ctr[:, :, 1:2]) < half[:, :, 1:2]  # [B,R,W]
+    out = x
+    for r in range(n_rect):
+        m = (in_y[:, r, :, None] & in_x[:, r, None, :])[..., None]  # [B,H,W,1]
+        out = jnp.where(m, val[:, r][:, None, None, None], out)
+    return out
+
+
 def _signed(key, mag):
     """Magnitude in [0, 1] -> signed value in [-mag, +mag] (random direction)."""
     sign = jnp.where(jax.random.bernoulli(key, shape=mag.shape), 1.0, -1.0)
     return sign * mag
 
 
-def _chain(key: jax.Array, x: jax.Array, gate_p: float, freq: bool = False) -> jax.Array:
+def _chain(
+    key: jax.Array, x: jax.Array, gate_p: float, freq: bool = False,
+    occlude: bool = False,
+) -> jax.Array:
     """One augmentation chain over a batch: gate each op's magnitude per
     image (Bernoulli(gate_p) — the TPU-native form of 'random op subset'),
     then apply geometry (one 3-pass scanline affine) and the pointwise ops
     in fixed order. Gated-off ops are exact identities. ``freq=True``
     extends the op pool with the spectral band-gain op (:func:`_freq_band`,
-    the weather-axis view — opt-in so the base recipe stays reproducible)."""
+    the weather-axis view) and ``occlude=True`` with the rectangular
+    occlusion op (:func:`_occlude`, the snow-axis view) — both opt-in so
+    the base recipe stays reproducible (the key schedule below is bitwise
+    unchanged when they are off)."""
     b, h, w, _ = x.shape
-    n_ops = NUM_OPS + (1 if freq else 0)
+    n_ops = NUM_OPS + (1 if freq else 0) + (1 if occlude else 0)
     k_gate, k_mag, k_sign, k_freq = jax.random.split(key, 4)
+    k_occ = None
+    if occlude:
+        k_freq, k_occ = jax.random.split(k_freq)
     gates = jax.random.bernoulli(k_gate, gate_p, (n_ops, b)).astype(jnp.float32)
     mags = jax.random.uniform(k_mag, (n_ops, b), jnp.float32) * gates
     signs = jax.random.split(k_sign, 5)
@@ -204,8 +250,12 @@ def _chain(key: jax.Array, x: jax.Array, gate_p: float, freq: bool = False) -> j
     x = _posterize(x, mags[5])
     x = _solarize(x, mags[6])
     x = _autocontrast(x, mags[7])
+    nxt = NUM_OPS
     if freq:
-        x = _freq_band(x, mags[8], k_freq)
+        x = _freq_band(x, mags[nxt], k_freq)
+        nxt += 1
+    if occlude:
+        x = _occlude(x, mags[nxt], k_occ)
     return x
 
 
@@ -279,7 +329,7 @@ def augment_op(idx: jax.Array, img: jax.Array, mag: jax.Array, key: jax.Array) -
     return jax.lax.switch(idx, _OPS, img, mag, key)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "max_depth", "freq"))
+@functools.partial(jax.jit, static_argnames=("width", "max_depth", "freq", "occlude"))
 def augmix(
     key: jax.Array,
     images: jax.Array,
@@ -287,12 +337,15 @@ def augmix(
     max_depth: int = 3,
     alpha: float = 1.0,
     freq: bool = False,
+    occlude: bool = False,
 ) -> jax.Array:
     """AugMix a [B, H, W, C] batch: per-image Dirichlet-weighted mixture of
     ``width`` augmentation chains, Beta-blended with the original. Chains
     gate each op with p = mean_depth / n_ops (mean_depth = E[U{1..max_depth}]),
     so expected chain depth matches the canonical sampler. ``freq=True``
-    adds the spectral band-gain op to the pool (weather-axis coverage)."""
+    adds the spectral band-gain op to the pool (weather-axis coverage);
+    ``occlude=True`` adds the rectangular occlusion op (snow-axis
+    coverage)."""
     orig_dtype = images.dtype
     images = jax.lax.convert_element_type(images, jnp.float32)
     b = images.shape[0]
@@ -302,10 +355,14 @@ def augmix(
     )  # [B, width]
     blend = jax.random.beta(k_beta, alpha, alpha, (b,), jnp.float32)[:, None, None, None]
 
-    gate_p = ((1.0 + max_depth) / 2.0) / (NUM_OPS + (1 if freq else 0))
+    gate_p = ((1.0 + max_depth) / 2.0) / (
+        NUM_OPS + (1 if freq else 0) + (1 if occlude else 0)
+    )
     # all chains in one program: [width*B, H, W, C]
     rep = jnp.tile(images, (width, 1, 1, 1))
-    chained = _chain(k_chains, rep, gate_p, freq).reshape((width, b) + images.shape[1:])
+    chained = _chain(k_chains, rep, gate_p, freq, occlude).reshape(
+        (width, b) + images.shape[1:]
+    )
     mix = jnp.einsum("bw,wbhxc->bhxc", ws, chained)
     out = jnp.clip(blend * images + (1.0 - blend) * mix, 0.0, 1.0)
     return jax.lax.convert_element_type(out, orig_dtype)

@@ -74,7 +74,7 @@ def test_ops_disjoint_from_test_corruptions():
     from fav_tpu.ops.augment import _OPS
     from fav_tpu.ops.corruptions import CORRUPTION_NAMES
 
-    op_names = {f.__name__.lstrip("_") for f in _OPS} | {"freq_band"}
+    op_names = {f.__name__.lstrip("_") for f in _OPS} | {"freq_band", "occlude"}
     assert not op_names & set(CORRUPTION_NAMES)
 
 
@@ -132,6 +132,49 @@ def test_augmix_freq_variant_differs_and_is_deterministic():
     assert float(jnp.mean(jnp.abs(fr1 - base))) > 1e-4  # different op pool
     assert fr1.shape == x.shape
     assert float(fr1.min()) >= 0.0 and float(fr1.max()) <= 1.0
+
+
+def test_occlude_identity_at_zero_and_blanks_at_one():
+    """The rectangular occlusion op (snow-axis coverage): bitwise identity
+    at mag 0 (strict-< masks), and at mag 1 it blanks a contiguous
+    axis-aligned region with a constant fill — information removal, the
+    failure mechanism snow exploits that no base op trains."""
+    import numpy as np
+
+    from fav_tpu.ops.augment import _occlude
+
+    key = jax.random.PRNGKey(3)
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(1), (6, 32, 32, 3)), 0, 1)
+    ident = _occlude(x, jnp.zeros((6,)), key)
+    np.testing.assert_array_equal(np.asarray(ident), np.asarray(x))
+
+    out = _occlude(x, jnp.ones((6,)), key)
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    changed = np.asarray(jnp.any(out != x, axis=-1))  # [B, H, W]
+    frac = changed.mean(axis=(1, 2))
+    assert frac.max() > 0.02  # some image lost a real region
+    assert frac.max() < 0.75  # never wipes out the whole image
+    # occluded pixels are constant per rectangle: within one image the
+    # changed region takes at most 2 distinct fill values per channel
+    b = int(np.argmax(frac))
+    vals = np.unique(np.round(np.asarray(out[b])[changed[b]], 5))
+    assert len(vals) <= 6  # 2 rects x 3 channels
+
+
+def test_augmix_occlude_variant_differs_and_is_deterministic():
+    import numpy as np
+
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(5), (4, 32, 32, 3)), 0, 1)
+    key = jax.random.PRNGKey(9)
+    base = augmix(key, x)
+    oc1 = augmix(key, x, occlude=True)
+    oc2 = augmix(key, x, occlude=True)
+    np.testing.assert_allclose(np.asarray(oc1), np.asarray(oc2), atol=0)
+    assert float(jnp.mean(jnp.abs(oc1 - base))) > 1e-4  # different op pool
+    assert float(oc1.min()) >= 0.0 and float(oc1.max()) <= 1.0
+    # the base pool's draws are bitwise unchanged when the flag is off
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(augmix(key, x)))
 
 
 def test_js_consistency_properties():

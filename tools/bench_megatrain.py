@@ -30,6 +30,9 @@ def main() -> None:
                     help="A/B ensemble-KD distillation (5-member config-scale "
                          "teacher -> half-width student) instead of classifier "
                          "training")
+    ap.add_argument("--ensemble", type=int, default=0, metavar="N",
+                    help="A/B N-member vmapped ensemble training (the KD "
+                         "teacher recipe) instead of single-model training")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +53,8 @@ def main() -> None:
     ds = synthetic_cifar10()
     if args.kd:
         return bench_kd(args, ds)
+    if args.ensemble:
+        return bench_ensemble(args, ds)
     model = create_model(ModelParams())
     key = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
@@ -110,6 +115,85 @@ def main() -> None:
 
     print({
         "objective": "augmix" if args.augmix else "ce",
+        "batch": args.batch, "k": args.k, "steps": args.steps,
+        "per_step_loop_ms": round(per_step * 1e3, 1),
+        "megastep_ms_per_step": round(per_step_mega * 1e3, 1),
+        "speedup": round(per_step / per_step_mega, 2),
+        "loop_img_per_s": round(args.batch / per_step),
+        "mega_img_per_s": round(args.batch / per_step_mega),
+    })
+
+
+def bench_ensemble(args, ds) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.data.cifar import index_iterator
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.models.train import (
+        TrainState, make_ensemble_megastep, make_ensemble_train_step,
+    )
+    from fav_tpu.models.uncertainty import init_ensemble
+
+    model = create_model(ModelParams())
+    sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    stacked = init_ensemble(model, jax.random.PRNGKey(0), sample, args.ensemble)
+    tx = optax.adamw(1e-3)
+
+    def fresh():
+        params = jax.tree.map(jnp.copy, stacked)
+        return TrainState(
+            params, jax.vmap(tx.init)(params),
+            jnp.zeros((args.ensemble,), jnp.int32),
+        )
+
+    # per-step loop (numpy batch -> H2D per step, one dispatch per step)
+    states = fresh()
+    step = make_ensemble_train_step(model.apply, tx, augmix=args.augmix)
+    it = index_iterator(ds.train_images.shape[0], args.batch, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    def one_step(states, key):
+        idx = next(it)
+        key, sub = jax.random.split(key)
+        states, m = step(states, jnp.asarray(ds.train_images[idx]),
+                         jnp.asarray(ds.train_labels[idx]), sub)
+        return states, key, m
+
+    for _ in range(3):
+        states, key, m = one_step(states, key)
+    _ = float(m["loss"][0])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        states, key, m = one_step(states, key)
+    _ = float(m["loss"][0])
+    per_step = (time.perf_counter() - t0) / args.steps
+
+    # megastep (dataset resident, [K, B] indices per call)
+    states = fresh()
+    mega = make_ensemble_megastep(model.apply, tx, augmix=args.augmix)
+    images_all = jnp.asarray(ds.train_images)
+    labels_all = jnp.asarray(ds.train_labels)
+    it = index_iterator(ds.train_images.shape[0], args.batch, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    def one_chunk(states, key):
+        idx = np.stack([next(it) for _ in range(args.k)]).astype(np.int32)
+        return mega(states, images_all, labels_all, jnp.asarray(idx), key)
+
+    states, key, m = one_chunk(states, key)
+    _ = float(m["loss"][0])
+    n_chunks = max(1, args.steps // args.k)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        states, key, m = one_chunk(states, key)
+    _ = float(m["loss"][0])
+    per_step_mega = (time.perf_counter() - t0) / (n_chunks * args.k)
+
+    print({
+        "objective": f"ensemble{args.ensemble}" + ("+augmix" if args.augmix else ""),
         "batch": args.batch, "k": args.k, "steps": args.steps,
         "per_step_loop_ms": round(per_step * 1e3, 1),
         "megastep_ms_per_step": round(per_step_mega * 1e3, 1),
