@@ -320,6 +320,7 @@ def test_megastep_matches_per_step_loop():
     assert m_loop["loss"] == pytest.approx(m_mega["loss"], abs=5e-2)
 
 
+@pytest.mark.slow
 def test_megastep_matches_per_step_loop_augmix():
     from fav_tpu.models.train import train_classifier
 
@@ -337,6 +338,7 @@ def test_megastep_matches_per_step_loop_augmix():
     )
 
 
+@pytest.mark.slow
 def test_megastep_matches_per_step_loop_sam():
     """SAM+AugMix through the megastep (round 3 widened the megastep to
     every single-model objective) reproduces the per-step SAM loop."""
@@ -357,6 +359,7 @@ def test_megastep_matches_per_step_loop_sam():
     )
 
 
+@pytest.mark.slow
 def test_ensemble_megastep_matches_per_step():
     """The ensemble megastep (lax.scan over K vmapped member updates with
     the train set resident) reproduces the per-step ensemble loop: same
