@@ -183,7 +183,7 @@ def main(argv=None) -> dict:
             "mean_anomaly": round(sum(c["mean_anomaly"] for c in cells.values()) / len(cells), 4),
         }
         if with_fail:
-            for m in ("auroc", "aupr", "fpr_at_95"):
+            for m in ("auroc", "auroc_energy", "aupr", "fpr_at_95"):
                 out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
         if all("coverage" in c for c in cells.values()):
             out["coverage"] = round(sum(c["coverage"] for c in cells.values()) / len(cells), 4)
@@ -203,6 +203,7 @@ def main(argv=None) -> dict:
             sum(v["accuracy"] for v in per_corruption.values()) / len(per_corruption), 4
         ),
         "mean_failure_auroc": overall_mean("auroc"),
+        "mean_failure_auroc_energy": overall_mean("auroc_energy"),
         "mean_failure_aupr": overall_mean("aupr"),
         "mean_fpr_at_95": overall_mean("fpr_at_95"),
         "mean_ece": overall_mean("ece"),

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "max_softmax_probability",
+    "energy_score",
     "predictive_entropy",
     "mutual_information",
     "mc_dropout_predict",
@@ -39,6 +40,18 @@ __all__ = [
 def max_softmax_probability(logits: jax.Array, temperature: float | jax.Array = 1.0) -> jax.Array:
     """MSP confidence in [1/C, 1]. Higher = more confident."""
     return jnp.max(jax.nn.softmax(logits / temperature, axis=-1), axis=-1)
+
+
+def energy_score(logits: jax.Array, temperature: float | jax.Array = 1.0) -> jax.Array:
+    """Energy-based failure/OOD score (Liu et al., NeurIPS 2020):
+    ``E(x) = -T * logsumexp(logits / T)``. HIGHER energy = less total
+    evidence = more failure-prone. Unlike MSP, energy keeps the logit
+    *magnitude* information the softmax normalizes away — a saturated
+    softmax can be confidently wrong while its logits are uniformly small;
+    energy still flags it. Reported per grid cell as ``auroc_energy``
+    (fav_tpu/parallel/sweep.py) next to the MSP-based ``auroc``."""
+    t = jnp.asarray(temperature, jnp.float32)
+    return -t * jax.nn.logsumexp(logits.astype(jnp.float32) / t, axis=-1)
 
 
 def predictive_entropy(probs: jax.Array) -> jax.Array:

@@ -32,7 +32,7 @@ from fav_tpu.models.calibration import (
     failure_labels,
     fpr_at_95_tpr,
 )
-from fav_tpu.models.uncertainty import anomaly_from_confidence
+from fav_tpu.models.uncertainty import anomaly_from_confidence, energy_score
 from fav_tpu.ops.corruptions import CORRUPTION_NAMES, SEVERITIES, corruption_fn
 
 __all__ = ["corruption_sweep", "fused_sweep", "sharded_sweep", "sweep_cell"]
@@ -74,6 +74,10 @@ def _cell_metrics(logits, labels, temperature):
         "mean_entropy": jnp.mean(entropy),
         "failure_rate": jnp.mean(fails.astype(jnp.float32)),
         "auroc": auroc(1.0 - conf, fails),
+        # energy score ranks by raw-logit evidence (T=1, calibration
+        # temperature deliberately not applied — monotone rescaling of
+        # logits would change energy ordering, unlike MSP's)
+        "auroc_energy": auroc(energy_score(logits), fails),
         "aupr": aupr(1.0 - conf, fails),
         "fpr_at_95": fpr_at_95_tpr(1.0 - conf, fails),
         # calibration *under shift*: the reference defines failure as a
@@ -120,6 +124,7 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
             "entropy": -jnp.sum(probs * logp, axis=-1),
             "brier": jnp.sum((probs - onehot) ** 2, axis=-1),
             "anomaly": anomaly_from_confidence(conf),
+            "energy": energy_score(logits),
         }
         if want_probs:
             # full temperature-scaled prob rows for host-side conformal
@@ -230,6 +235,9 @@ def _finalize_cell(ps: dict) -> dict[str, float]:
         "mean_entropy": float(np.mean(ps["entropy"])),
         "failure_rate": float(np.mean(fails)),
         "auroc": _np_auroc(unc, fails),
+        "auroc_energy": _np_auroc(
+            np.asarray(ps["energy"], np.float32).astype(np.float64), fails
+        ),
         "aupr": _np_aupr(unc, fails),
         "fpr_at_95": _np_fpr_at_95_tpr(unc, fails),
         "ece": _np_ece(conf, ps["correct"]),

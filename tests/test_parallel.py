@@ -398,8 +398,24 @@ def test_sweep_cell_detection_metric_suite():
     y = jax.random.randint(jax.random.PRNGKey(1), (32,), 0, 10)
     v = model.init(jax.random.PRNGKey(2), x[:1])
     cell = sweep_cell("gaussian_noise", model.apply, v, x, y, jax.random.PRNGKey(3), 3)
-    for k in ("aupr", "fpr_at_95"):
+    for k in ("aupr", "fpr_at_95", "auroc_energy"):
         assert 0.0 <= float(cell[k]) <= 1.0, (k, float(cell[k]))
+
+
+def test_energy_score_ranks_low_evidence():
+    """Energy (Liu et al. 2020) must be higher (more failure-prone) for a
+    uniformly-small logit row than for one with strong evidence, and be
+    invariant to what softmax would saturate away only when magnitudes
+    genuinely differ."""
+    from fav_tpu.models.uncertainty import energy_score
+
+    strong = jnp.array([[10.0, 0.0, 0.0]])
+    weak = jnp.array([[0.5, 0.0, 0.0]])  # same argmax, tiny evidence
+    assert float(energy_score(weak)[0]) > float(energy_score(strong)[0])
+    # MSP cannot separate two saturated rows of different magnitude; energy can
+    sat_small = jnp.array([[5.0, -5.0, -5.0]])
+    sat_big = jnp.array([[50.0, -50.0, -50.0]])
+    assert float(energy_score(sat_small)[0]) > float(energy_score(sat_big)[0])
 
 
 def test_fused_sweep_return_probs_consistent(model_and_params):
