@@ -204,6 +204,12 @@ class ServerParams:
     # micro-batch frame analysis across connections (one device call for N
     # live streams instead of N calls; fav_tpu/serving/analysis.py)
     batched_analysis: bool = True
+    # horizontal scale-out: N serving processes sharing one port via
+    # SO_REUSEPORT (the kernel load-balances accepts) and one TPU chip via
+    # their own tunnel clients. The measured single-process ceiling is the
+    # host wire stack (~60 analyzed Hz/core, BENCH.md Serving) while the
+    # chip idles at ~2% — workers scale the host side. FAV_SERVER_WORKERS=N.
+    workers: int = 1
 
 
 @dataclass(frozen=True)

@@ -523,8 +523,10 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
     return server
 
 
-def main() -> None:  # pragma: no cover
-    """Entry point: ``python -m fav_tpu.serving.app`` (reference main.py:369-371)."""
+def serve_forever(reuse_port: bool = False) -> None:
+    """One serving process: build the app from env config and run until
+    SIGINT/SIGTERM. ``reuse_port=True`` is the worker mode — N processes
+    bind the same port with SO_REUSEPORT (spawned by :func:`main`)."""
     import jax
 
     from fav_tpu.config import config_from_env
@@ -548,8 +550,12 @@ def main() -> None:  # pragma: no cover
         import signal
 
         app = create_app(cfg)
-        srv = await app.serve(cfg.server.host, cfg.server.port)
-        print(f"fav_tpu serving on http://{cfg.server.host}:{cfg.server.port}")
+        srv = await app.serve(cfg.server.host, cfg.server.port, reuse_port=reuse_port)
+        print(
+            f"fav_tpu serving on http://{cfg.server.host}:{cfg.server.port}"
+            f" (pid {os.getpid()})",
+            flush=True,
+        )
         stop = asyncio.Event()
         loop = asyncio.get_running_loop()
         for sig in (signal.SIGINT, signal.SIGTERM):
@@ -562,6 +568,54 @@ def main() -> None:  # pragma: no cover
         print("fav_tpu server stopped")
 
     asyncio.run(_run())
+
+
+def _worker_entry() -> None:
+    """Spawn target for one SO_REUSEPORT worker (must be module-level for
+    the 'spawn' start method; env config is inherited by the child)."""
+    serve_forever(reuse_port=True)
+
+
+def main() -> None:  # pragma: no cover
+    """Entry point: ``python -m fav_tpu.serving.app`` (reference main.py:369-371).
+
+    ``FAV_SERVER_WORKERS=N`` (N > 1) runs N serving processes sharing the
+    port via SO_REUSEPORT — the scale-out story for the measured per-core
+    wire-stack ceiling (BENCH.md Serving): each worker owns its own asyncio
+    loop, JPEG/JSON encoding and device client while the chip is shared.
+    'spawn' (not fork) so no worker inherits an initialized TPU client."""
+    from fav_tpu.config import config_from_env
+
+    workers = config_from_env().server.workers
+    if workers <= 1:
+        return serve_forever()
+
+    import multiprocessing as mp
+    import signal
+
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_worker_entry, name=f"fav-worker-{i}")
+             for i in range(workers)]
+    for p in procs:
+        p.start()
+    print(f"fav_tpu supervisor: {workers} workers on shared port", flush=True)
+
+    def _forward(signum, _frame):
+        for p in procs:
+            if p.pid:
+                try:
+                    os.kill(p.pid, signum)
+                except ProcessLookupError:
+                    pass
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, _forward)
+        except (ValueError, OSError):  # non-main thread / non-unix
+            pass
+    for p in procs:
+        p.join()
+    print("fav_tpu supervisor stopped")
 
 
 if __name__ == "__main__":  # pragma: no cover

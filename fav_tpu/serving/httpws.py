@@ -257,8 +257,16 @@ class HttpServer:
         self._static.append((url_prefix.rstrip("/") + "/", directory))
 
     # ── serving ──
-    async def serve(self, host: str, port: int) -> asyncio.base_events.Server:
-        self._server = await asyncio.start_server(self._handle_conn, host, port)
+    async def serve(
+        self, host: str, port: int, reuse_port: bool = False
+    ) -> asyncio.base_events.Server:
+        """``reuse_port=True`` binds with SO_REUSEPORT so N worker processes
+        can share the port (the kernel load-balances accepted connections) —
+        the scale-out mode behind ``FAV_SERVER_WORKERS`` (serving/app.py)."""
+        kwargs = {"reuse_port": True} if reuse_port else {}
+        self._server = await asyncio.start_server(
+            self._handle_conn, host, port, **kwargs
+        )
         return self._server
 
     async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):

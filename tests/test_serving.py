@@ -472,3 +472,58 @@ def test_ws_live_video_end_to_end(app_server, tmp_path):
         return (saw_frame, saw_metrics, saw_blank)
 
     assert asyncio.run(_ws_session(f"ws://{app_server}/ws", fn)) is True
+
+
+@pytest.mark.slow
+def test_multi_worker_reuseport_serving(tmp_path):
+    """FAV_SERVER_WORKERS=2 runs two serving processes sharing one port via
+    SO_REUSEPORT (the scale-out mode for the per-core wire-stack ceiling,
+    BENCH.md Serving): both workers must come up on the shared port, the
+    surface must answer, and SIGTERM must stop the whole tree gracefully."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",  # site hook off -> JAX_PLATFORMS works
+        "JAX_PLATFORMS": "cpu",
+        "FAV_SERVER_WORKERS": "2",
+        "FAV_SERVER_HOST": "127.0.0.1",
+        "FAV_SERVER_PORT": str(port),
+        "FAV_SERVER_UPLOAD_DIR": str(tmp_path / "uploads"),
+    })
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fav_tpu.serving.app"],
+        cwd=repo, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        up = False
+        while time.time() < deadline:
+            try:
+                status, _ = _get(f"http://127.0.0.1:{port}/health")
+                up = status == 200
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert up, "shared port never answered /health"
+        for _ in range(6):  # several requests across kernel-balanced accepts
+            status, body = _get(f"http://127.0.0.1:{port}/health")
+            assert status == 200 and b"ok" in body
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    assert "2 workers" in out
+    pids = {line.split("(pid ")[1].split(")")[0]
+            for line in out.splitlines() if "(pid " in line}
+    assert len(pids) == 2, f"expected two worker pids, got {pids}\n{out[-2000:]}"
