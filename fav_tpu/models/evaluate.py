@@ -37,6 +37,14 @@ def main(argv=None) -> dict:
     parser.add_argument("--mc-dropout", type=int, default=0,
                         help="evaluate the single-model checkpoint with N "
                              "MC-dropout replicas (logit-averaged)")
+    parser.add_argument("--tta", type=int, default=0, metavar="K",
+                        help="test-time augmentation: average logits over the "
+                             "clean view + K-1 label-invariant AugMix views "
+                             "(PAPERS.md: lossy label-invariant transformations "
+                             "improve classifier confidence; views are "
+                             "leak-free vs the grid by construction). One "
+                             "K-view batched forward per cell, like "
+                             "--mc-dropout's replicas")
     parser.add_argument("--per-cell", action="store_true",
                         help="dispatch one program per grid cell instead of "
                              "the fused whole-grid program (debugging aid)")
@@ -116,6 +124,24 @@ def main(argv=None) -> dict:
     else:
         params = model.init(jax.random.PRNGKey(0), sample)
         apply_fn = model.apply
+    if args.tta > 1:
+        # wrap whatever scorer was built above: mean logits over the clean
+        # view + K-1 AugMix views. A prediction that survives label-invariant
+        # lossy transforms deserves its confidence; one that flips under them
+        # does not — the transform keys are fixed so the sweep stays
+        # deterministic (fold_in per view).
+        from fav_tpu.ops.augment import augmix as _augmix
+
+        base_apply = apply_fn
+        tta_key = jax.random.PRNGKey(11)
+
+        def apply_fn(p, x, _base=base_apply):  # noqa: F811 — deliberate wrap
+            logits = _base(p, x)
+            for i in range(args.tta - 1):
+                view = _augmix(jax.random.fold_in(tta_key, i), x)
+                logits = logits + _base(p, view)
+            return logits / args.tta
+
     temperature = 1.0
     source = "random_init"
 
@@ -136,7 +162,7 @@ def main(argv=None) -> dict:
     # multi-forward scorers (M members / K replicas) blow the HBM liveness
     # budget in a single 75-cell program — bound the chunk size by the
     # forwards-per-cell multiplier (fused_sweep docstring)
-    multi = max(args.ensemble, args.mc_dropout, 1)
+    multi = max(args.ensemble, args.mc_dropout, args.tta, 1)
     cells_per_call = 0 if multi <= 1 else max(1, 25 // multi)
     want_probs = args.conformal > 0.0
     if jax.device_count() > 1 and n % jax.device_count() == 0:
@@ -210,6 +236,7 @@ def main(argv=None) -> dict:
         "mean_brier": overall_mean("brier"),
         "devices": jax.device_count(),
         "data_source": ds.source,
+        **({"tta_views": args.tta} if args.tta > 1 else {}),
     }
     if conformal_summary is not None:
         overall["conformal"] = conformal_summary

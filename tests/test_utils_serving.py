@@ -627,3 +627,20 @@ def test_msp_serves_compact_student_by_default():
 
     mc = InferenceService(ModelParams(), uncertainty="mc_dropout")
     assert mc._resolve_ckpt_dir().endswith("classifier")
+
+
+@pytest.mark.slow
+def test_evaluate_cli_tta_smoke(tmp_path):
+    """--tta K averages logits over the clean view + K-1 leak-free AugMix
+    views (PAPERS.md lossy label-invariant transformations); the sweep must
+    run, record the view count, and stay deterministic (fixed fold_in keys)."""
+    from fav_tpu.models import evaluate
+
+    args = ["--num-images", "32", "--corruptions", "gaussian_noise",
+            "--widths", "8,16", "--checkpoint", str(tmp_path / "nonexistent"),
+            "--tta", "3"]
+    result = evaluate.main(args)
+    assert result["summary"]["tta_views"] == 3
+    assert 0.0 <= result["summary"]["mean_corrupted_accuracy"] <= 1.0
+    again = evaluate.main(args)
+    assert again["grid"] == result["grid"]  # deterministic view keys
