@@ -594,15 +594,22 @@ def main() -> None:  # pragma: no cover
     import signal
 
     ctx = mp.get_context("spawn")
-    procs = [ctx.Process(target=_worker_entry, name=f"fav-worker-{i}")
-             for i in range(workers)]
-    for p in procs:
+
+    def spawn(i: int):
+        p = ctx.Process(target=_worker_entry, name=f"fav-worker-{i}")
         p.start()
+        return p
+
+    procs = [spawn(i) for i in range(workers)]
     print(f"fav_tpu supervisor: {workers} workers on shared port", flush=True)
 
+    stopping = False
+
     def _forward(signum, _frame):
+        nonlocal stopping
+        stopping = True
         for p in procs:
-            if p.pid:
+            if p.pid and p.is_alive():
                 try:
                     os.kill(p.pid, signum)
                 except ProcessLookupError:
@@ -613,6 +620,32 @@ def main() -> None:  # pragma: no cover
             signal.signal(sig, _forward)
         except (ValueError, OSError):  # non-main thread / non-unix
             pass
+
+    # supervise: a crashed worker (OOM, device client lost) must not
+    # permanently shrink capacity — respawn it; a graceful stop must not
+    # fight the respawner. SIGCHLD-free polling keeps this portable.
+    import time as _time
+
+    while not stopping and any(p.is_alive() for p in procs):
+        for i, p in enumerate(procs):
+            p.join(timeout=0.2)
+            if stopping:
+                break
+            if p.exitcode is not None:
+                print(
+                    f"fav_tpu supervisor: worker {i} exited "
+                    f"(code {p.exitcode}), respawning", flush=True,
+                )
+                _time.sleep(0.5)  # crash-loop damper
+                procs[i] = spawn(i)
+    # a worker respawned in the stop-signal window never saw the forwarded
+    # signal — sweep once more so the final join cannot hang
+    for p in procs:
+        if p.is_alive() and p.pid:
+            try:
+                os.kill(p.pid, signal.SIGTERM)
+            except ProcessLookupError:
+                pass
     for p in procs:
         p.join()
     print("fav_tpu supervisor stopped")

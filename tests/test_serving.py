@@ -479,7 +479,8 @@ def test_multi_worker_reuseport_serving(tmp_path):
     """FAV_SERVER_WORKERS=2 runs two serving processes sharing one port via
     SO_REUSEPORT (the scale-out mode for the per-core wire-stack ceiling,
     BENCH.md Serving): both workers must come up on the shared port, the
-    surface must answer, and SIGTERM must stop the whole tree gracefully."""
+    surface must answer, a SIGKILLed worker must be respawned (capacity
+    survives crashes), and SIGTERM must stop the whole tree gracefully."""
     import signal
     import socket
     import subprocess
@@ -501,10 +502,12 @@ def test_multi_worker_reuseport_serving(tmp_path):
         "FAV_SERVER_PORT": str(port),
         "FAV_SERVER_UPLOAD_DIR": str(tmp_path / "uploads"),
     })
+    out_path = str(tmp_path / "workers.log")
+    out_file = open(out_path, "w")
     proc = subprocess.Popen(
         [sys.executable, "-m", "fav_tpu.serving.app"],
         cwd=repo, env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=out_file, stderr=subprocess.STDOUT, text=True,
     )
     try:
         deadline = time.time() + 120
@@ -520,10 +523,35 @@ def test_multi_worker_reuseport_serving(tmp_path):
         for _ in range(6):  # several requests across kernel-balanced accepts
             status, body = _get(f"http://127.0.0.1:{port}/health")
             assert status == 200 and b"ok" in body
+        # crash one worker: the supervisor must respawn it
+        deadline = time.time() + 60
+        first_pids = set()
+        while time.time() < deadline and len(first_pids) < 2:
+            first_pids = {int(line.split("(pid ")[1].split(")")[0])
+                          for line in open(out_path).read().splitlines()
+                          if "(pid " in line}
+            time.sleep(0.3)
+        assert len(first_pids) == 2, first_pids
+        os.kill(sorted(first_pids)[0], signal.SIGKILL)
+        deadline = time.time() + 90
+        respawned = False
+        while time.time() < deadline and not respawned:
+            respawned = "respawning" in open(out_path).read()
+            time.sleep(0.3)
+        assert respawned, "supervisor never respawned the killed worker"
+        deadline = time.time() + 90
+        pids = set(first_pids)
+        while time.time() < deadline and len(pids) < 3:
+            pids = {int(line.split("(pid ")[1].split(")")[0])
+                    for line in open(out_path).read().splitlines()
+                    if "(pid " in line}
+            time.sleep(0.3)
+        assert len(pids) >= 3, f"no new worker pid appeared: {pids}"
+        status, body = _get(f"http://127.0.0.1:{port}/health")
+        assert status == 200 and b"ok" in body
     finally:
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=60)
+        proc.wait(timeout=60)
+    out = open(out_path).read()
     assert "2 workers" in out
-    pids = {line.split("(pid ")[1].split(")")[0]
-            for line in out.splitlines() if "(pid " in line}
-    assert len(pids) == 2, f"expected two worker pids, got {pids}\n{out[-2000:]}"
+    assert "supervisor stopped" in out
