@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--ensemble", type=int, default=0, metavar="N",
                     help="A/B N-member vmapped ensemble training (the KD "
                          "teacher recipe) instead of single-model training")
+    ap.add_argument("--sam", type=float, default=0.0, metavar="RHO",
+                    help="A/B the SAM+AugMix objective (two backward passes "
+                         "per step) at perturbation radius RHO")
+    ap.add_argument("--deepaugment", action="store_true",
+                    help="A/B the DeepAugment+AugMix objective (the shipped "
+                         "AE checkpoint rides resident inside the megastep)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +53,7 @@ def main() -> None:
     from fav_tpu.models.cnn import create_model
     from fav_tpu.models.train import (
         augmix_train_step, classifier_train_step, create_train_state,
-        make_train_megastep,
+        deepaugment_train_step, make_train_megastep, sam_augmix_train_step,
     )
 
     ds = synthetic_cifar10()
@@ -64,6 +70,12 @@ def main() -> None:
         return create_train_state(params, 1e-3)
 
     lam = jnp.float32(12.0)
+    rho = jnp.float32(args.sam)
+    ae_apply = ae_params = None
+    if args.deepaugment:
+        from fav_tpu.ops.deepaugment import load_augmenter
+
+        ae_apply, ae_params = load_augmenter()
 
     # ── per-step loop (numpy batch -> H2D per step, one dispatch per step) ──
     state, tx = fresh_state()
@@ -73,7 +85,17 @@ def main() -> None:
         idx = next(it)
         images, labels = ds.train_images[idx], ds.train_labels[idx]
         key, sk = jax.random.split(key)
-        if args.augmix:
+        if args.deepaugment:
+            state, m = deepaugment_train_step(
+                model.apply, ae_apply, tx, state, jnp.asarray(images),
+                jnp.asarray(labels), sk, lam, ae_params,
+            )
+        elif args.sam > 0:
+            state, m = sam_augmix_train_step(
+                model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels),
+                sk, lam, rho,
+            )
+        elif args.augmix:
             state, m = augmix_train_step(
                 model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels), sk, lam
             )
@@ -94,7 +116,11 @@ def main() -> None:
 
     # ── megastep (dataset resident, [K, B] indices per call) ──
     state, tx = fresh_state()
-    mega = make_train_megastep(model.apply, tx, augmix=args.augmix)
+    mega = make_train_megastep(
+        model.apply, tx,
+        augmix=args.augmix or args.sam > 0 or args.deepaugment,
+        sam_rho=args.sam, deepaugment=args.deepaugment, ae_apply=ae_apply,
+    )
     images_all = jnp.asarray(ds.train_images)
     labels_all = jnp.asarray(ds.train_labels)
     it = index_iterator(ds.train_images.shape[0], args.batch, seed=0)
@@ -102,7 +128,8 @@ def main() -> None:
 
     def one_chunk(state, key):
         idx = np.stack([next(it) for _ in range(args.k)]).astype(np.int32)
-        return mega(state, images_all, labels_all, jnp.asarray(idx), key)
+        return mega(state, images_all, labels_all, jnp.asarray(idx), key,
+                    ae_params=ae_params)
 
     state, key, m = one_chunk(state, key)  # warm compile
     _ = float(m["loss"])
@@ -113,8 +140,14 @@ def main() -> None:
     _ = float(m["loss"])
     per_step_mega = (time.perf_counter() - t0) / (n_chunks * args.k)
 
+    objective = (
+        "deepaugment" if args.deepaugment
+        else f"sam={args.sam}" if args.sam > 0
+        else "augmix" if args.augmix
+        else "ce"
+    )
     print({
-        "objective": "augmix" if args.augmix else "ce",
+        "objective": objective,
         "batch": args.batch, "k": args.k, "steps": args.steps,
         "per_step_loop_ms": round(per_step * 1e3, 1),
         "megastep_ms_per_step": round(per_step_mega * 1e3, 1),

@@ -61,8 +61,12 @@ if __name__ == "__main__":
     def row(name, t, n=wb):
         rows.append((name, t * 1e3, n / t))
 
-    # full augmix + the chain alone
+    # full augmix + the chain alone; the alpha=1+eps variant compiles the
+    # gamma rejection samplers (XLA while_loops) the closed-form alpha=1
+    # path eliminated — the round-3 mixing rewrite's A/B
     row("augmix (full, 1 view)", _time(jax.jit(lambda k, im: A.augmix(k, im)), key, x), b)
+    row("augmix (gamma samplers)", _time(
+        jax.jit(lambda k, im: A.augmix(k, im, alpha=1.0 + 1e-6)), key, x), b)
     chain_j = jax.jit(lambda k, im: A._chain(k, im, 0.25))
     row("_chain on width*B", _time(chain_j, key, xw))
 
