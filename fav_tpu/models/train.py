@@ -282,7 +282,12 @@ def make_train_megastep(
     Covers every single-model objective: plain CE, AugMix, SAM+AugMix
     (``sam_rho > 0``) and DeepAugment (``deepaugment=True`` with
     ``ae_apply``; the perturbed-weights AE rides inside the scan body, so
-    its params must be passed resident via ``ae_params``).
+    its params must be passed resident via ``ae_params``). Measured
+    speedups at batch 1024 over the tunnel (BENCH.md Training): CE 18.5x,
+    AugMix 5.4x, SAM 4.5x, 5-member ensembles 3.3x (batch 512, see
+    :func:`make_ensemble_megastep`) — but DeepAugment is a measured 0.23x
+    REGRESSION (the scanned AE body loses the standalone step's fusion);
+    the ``pretrain`` CLI falls back to the per-step loop for it.
 
     Returns ``megastep(state, images_all, labels_all, idx_chunk, key,
     ae_params=None) -> (state, key, last_step_metrics)`` with ``state``

@@ -356,8 +356,10 @@ def augmix(
     if alpha == 1.0:
         # closed forms at the default concentration — Beta(1,1) IS U(0,1) and
         # Dirichlet(1,..,1) IS normalized exponentials — so no gamma rejection
-        # samplers (XLA while_loops that block fusion inside the train step;
-        # they were the AugMix view's cost center, BENCH.md Training round 3).
+        # samplers (XLA while_loops). Measured wall-clock NEUTRAL on TPU
+        # (interleaved A/B ties at both view and train-step level, BENCH.md
+        # Training round 3): kept for the simpler HLO and exact sampling,
+        # not for speed.
         e = -jnp.log(
             jax.random.uniform(
                 k_dir, (b, width), jnp.float32, jnp.finfo(jnp.float32).tiny, 1.0
