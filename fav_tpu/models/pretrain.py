@@ -414,16 +414,6 @@ def main(argv=None) -> dict:
                              "--augmix; needs checkpoints/autoencoder)")
     args = parser.parse_args(argv)
 
-    if args.deepaugment and args.megastep:
-        # measured same-session A/B (BENCH.md Training): the AE-inside-scan
-        # program runs at 0.23x the per-step loop — the scanned DeepAugment
-        # body loses the fusion the standalone step gets. Keep the flag
-        # combination legal (the trajectories are equivalent) but route to
-        # the path that is actually faster.
-        print("[fav_tpu] --megastep with --deepaugment measured 0.23x the "
-              "per-step loop (BENCH.md Training); using the per-step path")
-        args.megastep = 0
-
     if args.deepaugment:
         if args.ensemble:
             # member-independent AE perturbation draws are not wired; plain

@@ -261,6 +261,7 @@ def make_train_megastep(
     sam_rho: float = 0.0,
     deepaugment: bool = False,
     ae_apply: Callable | None = None,
+    ae_params: Any = None,
 ):
     """Device-resident training megastep: ``lax.scan`` over K optimizer steps
     in ONE jitted program, batches gathered on-device from the resident
@@ -281,25 +282,33 @@ def make_train_megastep(
 
     Covers every single-model objective: plain CE, AugMix, SAM+AugMix
     (``sam_rho > 0``) and DeepAugment (``deepaugment=True`` with
-    ``ae_apply``; the perturbed-weights AE rides inside the scan body, so
-    its params must be passed resident via ``ae_params``). Measured
-    speedups at batch 1024 over the tunnel (BENCH.md Training): CE 18.5x,
-    AugMix 5.4x, SAM 4.5x, 5-member ensembles 3.3x (batch 512, see
-    :func:`make_ensemble_megastep`) — but DeepAugment is a measured 0.23x
-    REGRESSION (the scanned AE body loses the standalone step's fusion);
-    the ``pretrain`` CLI falls back to the per-step loop for it.
+    ``ae_apply`` + ``ae_params``). Measured speedups at batch 1024 over
+    the tunnel (BENCH.md Training): CE 18.5x, AugMix 5.4x, SAM 4.5x,
+    DeepAugment 7.4x, 5-member ensembles 3.3x (batch 512, see
+    :func:`make_ensemble_megastep`).
 
-    Returns ``megastep(state, images_all, labels_all, idx_chunk, key,
-    ae_params=None) -> (state, key, last_step_metrics)`` with ``state``
-    donated; thread the returned key into the next call (it has advanced by
-    K splits, matching the host loop's split-per-step)."""
+    ``ae_params`` is BAKED at factory time (closed over, so the 1.9 MB AE
+    tree compiles into the executable as constants) rather than passed per
+    call: on the tunneled TPU backend, threading that tree through the jit
+    boundary into the scanned perturbation+conv body made the identical
+    program 4-300x slower per call (same-session bisect,
+    measurements/r3/deepaug_scan_bisect*.log — the 245 MB train set as an
+    argument costs nothing, the 1.9 MB AE-as-argument is catastrophic;
+    KD's stacked teacher-as-argument in a plain forward is also fine, so
+    the pathology is specific to params perturbed inside the scan body).
+    Re-bake by calling the factory again if the AE ever retrains mid-run.
+
+    Returns ``megastep(state, images_all, labels_all, idx_chunk, key)
+    -> (state, key, last_step_metrics)`` with ``state`` donated; thread
+    the returned key into the next call (it has advanced by K splits,
+    matching the host loop's split-per-step)."""
     lam = jnp.float32(js_lam)
     rho = jnp.float32(sam_rho)
-    if deepaugment and ae_apply is None:
-        raise ValueError("deepaugment=True requires ae_apply")
+    if deepaugment and (ae_apply is None or ae_params is None):
+        raise ValueError("deepaugment=True requires ae_apply and ae_params")
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def megastep(state, images_all, labels_all, idx_chunk, key, ae_params=None):
+    def megastep(state, images_all, labels_all, idx_chunk, key):
         def body(carry, idx):
             st, k = carry
             k, step_key = jax.random.split(k)
@@ -522,7 +531,7 @@ def train_classifier(
         mega = make_train_megastep(
             model.apply, tx, augmix=augmix, js_lam=js_lam, freq=freq_aug,
             occlude=occlude_aug, sam_rho=sam_rho, deepaugment=deepaugment,
-            ae_apply=ae_apply,
+            ae_apply=ae_apply, ae_params=ae_params,
         )
         images_all = jnp.asarray(dataset.train_images)  # resident for the run
         labels_all = jnp.asarray(dataset.train_labels)
@@ -530,7 +539,6 @@ def train_classifier(
             idx_chunk = np.stack([next(idx_it) for _ in range(megastep)]).astype(np.int32)
             state, key, metrics = mega(
                 state, images_all, labels_all, jnp.asarray(idx_chunk), key,
-                ae_params,
             )
             steps_done += megastep
             if log_every and (

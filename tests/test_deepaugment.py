@@ -93,8 +93,8 @@ def test_deepaugment_train_step_runs_and_learns(ae):
 
 @pytest.mark.slow
 def test_deepaugment_megastep_matches_per_step(ae):
-    """The widened megastep's DeepAugment branch (AE params resident,
-    passed per call) reproduces the per-step deepaugment_train_step chain."""
+    """The widened megastep's DeepAugment branch (AE params baked at
+    factory time) reproduces the per-step deepaugment_train_step chain."""
     import optax
 
     from fav_tpu.models.train import (
@@ -127,12 +127,12 @@ def test_deepaugment_megastep_matches_per_step(ae):
 
     mega = make_train_megastep(
         model.apply, tx, augmix=True, js_lam=12.0,
-        deepaugment=True, ae_apply=ae_model.apply,
+        deepaugment=True, ae_apply=ae_model.apply, ae_params=ae_params,
     )
     state2 = TrainState(jax.tree.map(jnp.copy, params), tx.init(params),
                         jnp.zeros((), jnp.int32))
     state2, key2, metrics = mega(
-        state2, images, labels, jnp.asarray(idx), jax.random.PRNGKey(11), ae_params
+        state2, images, labels, jnp.asarray(idx), jax.random.PRNGKey(11)
     )
     np.testing.assert_array_equal(np.asarray(key), np.asarray(key2))
     assert int(state2.step) == 3 and np.isfinite(float(metrics["loss"]))

@@ -120,6 +120,7 @@ def main() -> None:
         model.apply, tx,
         augmix=args.augmix or args.sam > 0 or args.deepaugment,
         sam_rho=args.sam, deepaugment=args.deepaugment, ae_apply=ae_apply,
+        ae_params=ae_params,
     )
     images_all = jnp.asarray(ds.train_images)
     labels_all = jnp.asarray(ds.train_labels)
@@ -128,8 +129,7 @@ def main() -> None:
 
     def one_chunk(state, key):
         idx = np.stack([next(it) for _ in range(args.k)]).astype(np.int32)
-        return mega(state, images_all, labels_all, jnp.asarray(idx), key,
-                    ae_params=ae_params)
+        return mega(state, images_all, labels_all, jnp.asarray(idx), key)
 
     state, key, m = one_chunk(state, key)  # warm compile
     _ = float(m["loss"])
