@@ -249,5 +249,12 @@ def main(argv=None) -> dict:
     return result
 
 
+def cli_main(argv=None) -> None:
+    """Console-script entry (`fav-evaluate`, pyproject.toml): :func:`main`
+    returns the result dict for programmatic callers, which must not leak
+    into ``sys.exit``."""
+    main(argv)
+
+
 if __name__ == "__main__":
     main()

@@ -556,5 +556,12 @@ def main(argv=None) -> dict:
     return metrics
 
 
+def cli_main(argv=None) -> None:
+    """Console-script entry (`fav-pretrain`, pyproject.toml): :func:`main`
+    returns the metrics dict for programmatic callers, which must not leak
+    into ``sys.exit``."""
+    main(argv)
+
+
 if __name__ == "__main__":
     main()

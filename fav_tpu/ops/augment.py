@@ -63,8 +63,41 @@ _MAX_TRANSLATE = 0.25  # fraction of the image side
 def _shift_rows(x: jax.Array, delta: jax.Array, max_shift: int) -> jax.Array:
     """``out[b, y, x] = in[b, y, x + delta[b, y]]`` with linear interpolation
     and edge clamping — a horizontal shear pass. ``delta`` is a float shift
-    per (image, row), statically bounded by ``max_shift``; the interpolation
-    is an unrolled (2M+2)-window select-accumulate (pure VPU, no gathers)."""
+    per (image, row), statically bounded by ``max_shift``.
+
+    Implemented as a **logarithmic barrel shift**: the integer offset
+    ``off = floor(delta) + m`` (in ``[0, 2m-1]``) is applied bit by bit —
+    ``ceil(log2(2m))`` conditional power-of-2 slices instead of the 2·2m
+    masked windows of the select-accumulate this replaced. Same arithmetic
+    (bitwise-identical output, pinned by tests vs :func:`_shift_rows_windows`),
+    ~13x less HBM traffic at the AugMix train shape: each stage reads+writes
+    the batch once (~6 passes) where the window form carried 72 full-batch
+    selects. Measured on TPU in BENCH.md (Training, round 3)."""
+    b, h, w, c = x.shape
+    m = int(max_shift)
+    delta = jnp.clip(delta, -m, m - 1)
+    lo = jnp.floor(delta).astype(jnp.int32)  # [B, H] in [-m, m-1]
+    frac = (delta - lo)[:, :, None, None]
+    off = lo + m  # [B, H] in [0, 2m-1]
+    nbits = max(1, int(2 * m - 1).bit_length())
+    # xp[b, y, i] is source column i - m, edge-replicated; width w + 2^nbits
+    # so that unconditionally truncating (2^nbits - 1) columns across the
+    # stages still leaves the w+1 columns the interpolation needs.
+    xp = jnp.pad(x, ((0, 0), (0, 0), (m, (1 << nbits) - m), (0, 0)), mode="edge")
+    cur = xp
+    for k in range(nbits):
+        s = 1 << k
+        bit = ((off >> k) & 1).astype(bool)[:, :, None, None]
+        new_w = cur.shape[2] - s
+        cur = jnp.where(bit, cur[:, :, s : s + new_w, :], cur[:, :, :new_w, :])
+    # cur[b, y, x] == xp[b, y, x + off[b, y]] for x in [0, w]
+    return (1.0 - frac) * cur[:, :, :w, :] + frac * cur[:, :, 1 : w + 1, :]
+
+
+def _shift_rows_windows(x: jax.Array, delta: jax.Array, max_shift: int) -> jax.Array:
+    """The original (2M+2)-window select-accumulate form of
+    :func:`_shift_rows`, kept as the independent oracle for the barrel-shift
+    equivalence test (tests/test_augment.py) — do not use on the hot path."""
     b, h, w, c = x.shape
     m = int(max_shift)
     delta = jnp.clip(delta, -m, m - 1)

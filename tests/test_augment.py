@@ -353,13 +353,38 @@ def test_affine_scanline_pallas_matches_xla():
 
 
 def test_augmix_pallas_dispatch_env_override(monkeypatch):
-    """FAV_AUGMIX_PALLAS forces the dispatcher; on CPU the default is the
-    XLA path."""
+    """FAV_AUGMIX_PALLAS=1 opts into the Pallas affine; the default is the
+    XLA path on every backend (the kernels measured negative, BENCH.md)."""
     from fav_tpu.ops import augment
 
     monkeypatch.delenv("FAV_AUGMIX_PALLAS", raising=False)
-    assert augment._use_pallas_affine() is (jax.default_backend() == "tpu")
+    assert augment._use_pallas_affine() is False
     monkeypatch.setenv("FAV_AUGMIX_PALLAS", "1")
     assert augment._use_pallas_affine() is True
     monkeypatch.setenv("FAV_AUGMIX_PALLAS", "0")
     assert augment._use_pallas_affine() is False
+
+
+def test_shift_rows_barrel_matches_windows_bitwise():
+    """The barrel-shift form of _shift_rows must be BITWISE identical to the
+    original window select-accumulate: same clip/floor/frac math, same padded
+    source values, same final interpolation expression — only the routing of
+    values through selects differs. Covers boundary offsets (-m, m-1+eps),
+    exact-integer shifts, zero, and mixed random deltas at several m."""
+    import numpy as np
+
+    from fav_tpu.ops.augment import _shift_rows, _shift_rows_windows
+
+    key = jax.random.PRNGKey(7)
+    for m, (b, h, w) in [(18, (3, 32, 32)), (5, (2, 8, 16)), (1, (2, 4, 4))]:
+        kx, kd = jax.random.split(jax.random.fold_in(key, m))
+        x = jax.random.uniform(kx, (b, h, w, 3), jnp.float32)
+        delta = jax.random.uniform(kd, (b, h), jnp.float32, -m - 2.0, m + 2.0)
+        # force the edge cases onto specific rows
+        delta = delta.at[0, 0].set(-float(m))
+        delta = delta.at[0, 1].set(m - 1 + 0.999)
+        delta = delta.at[0, 2 % h].set(0.0)
+        delta = delta.at[1, 0].set(3.0 % m)  # exact integer shift
+        got = _shift_rows(x, delta, m)
+        want = _shift_rows_windows(x, delta, m)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
