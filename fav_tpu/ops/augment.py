@@ -114,7 +114,13 @@ def _shift_rows_windows(x: jax.Array, delta: jax.Array, max_shift: int) -> jax.A
 
 
 def _shift_cols(x: jax.Array, delta: jax.Array, max_shift: int) -> jax.Array:
-    """Vertical shear pass: ``out[b, y, x] = in[b, y + delta[b, x], x]``."""
+    """Vertical shear pass: ``out[b, y, x] = in[b, y + delta[b, x], x]``.
+
+    Transpose + :func:`_shift_rows` + transpose back. A direct axis-1
+    barrel shift (no transpose round trip) measured *slower* on TPU
+    (86.5 vs 83.9 ms chain view, tools/ab_shift_rows.py 3-arm A/B) —
+    XLA's transpose into the lane-friendly layout beats conditional
+    slicing along the sublane axis; kept this form."""
     return _shift_rows(x.transpose(0, 2, 1, 3), delta, max_shift).transpose(0, 2, 1, 3)
 
 

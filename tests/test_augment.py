@@ -388,3 +388,24 @@ def test_shift_rows_barrel_matches_windows_bitwise():
         got = _shift_rows(x, delta, m)
         want = _shift_rows_windows(x, delta, m)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_shift_cols_matches_windows_oracle_nonsquare():
+    """_shift_cols (transpose + barrel rows + transpose) vs the windows
+    oracle through the same transposes, on non-square images (catches any
+    axis mix-up). A direct axis-1 barrel variant measured slower on TPU
+    and was not kept (tools/ab_shift_rows.py)."""
+    import numpy as np
+
+    from fav_tpu.ops.augment import _shift_cols, _shift_rows_windows
+
+    key = jax.random.PRNGKey(11)
+    for m, (b, h, w) in [(7, (3, 16, 24)), (3, (2, 8, 4))]:
+        kx, kd = jax.random.split(jax.random.fold_in(key, m))
+        x = jax.random.uniform(kx, (b, h, w, 3), jnp.float32)
+        delta = jax.random.uniform(kd, (b, w), jnp.float32, -m - 1.0, m + 1.0)
+        got = _shift_cols(x, delta, m)
+        want = _shift_rows_windows(
+            x.transpose(0, 2, 1, 3), delta, m
+        ).transpose(0, 2, 1, 3)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

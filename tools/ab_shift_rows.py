@@ -1,10 +1,13 @@
-"""Interleaved same-process A/B: barrel-shift vs window select-accumulate
-_shift_rows inside the full augmix view (round-3 training-perf work).
+"""Interleaved same-process A/B of the scanline-shear implementations
+inside the full augmix chain view (round-3 training-perf work).
 
-Both arms are the SAME augmix program except for the _shift_rows
-implementation (bitwise-identical outputs, tests/test_augment.py); timings
-alternate A/B/A/B to cancel tunnel drift (CLAUDE.md: throughput varies
-session to session — never compare across runs).
+Arms (all bitwise-identical outputs, tests/test_augment.py):
+  windows  — the original (2M+2)-window select-accumulate rows + transposed cols
+  barrel+T — barrel-shift rows, cols via transpose round trip
+  barrel   — barrel-shift rows + direct axis-1 cols (current code)
+
+Timings rotate round-robin to cancel tunnel drift (CLAUDE.md: throughput
+varies session to session — never compare across runs).
 
 Usage: python tools/ab_shift_rows.py [--batch 4096] [--reps 7]
 """
@@ -39,41 +42,69 @@ if __name__ == "__main__":
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (args.batch, 32, 32, 3), jnp.float32)
 
-    def make_view(shift_impl):
-        saved = A._shift_rows
-        A._shift_rows = shift_impl
+    def cols_via_transpose(rows_impl):
+        def _cols(xx, delta, m):
+            return rows_impl(xx.transpose(0, 2, 1, 3), delta, m).transpose(0, 2, 1, 3)
+
+        return _cols
+
+    def cols_direct_axis1(xx, delta, max_shift):
+        # the measured-negative variant (86.5 vs 83.9 ms): barrel shift
+        # sliced along the sublane axis directly, no transpose round trip
+        b, h, w, c = xx.shape
+        m = int(max_shift)
+        delta = jnp.clip(delta, -m, m - 1)
+        lo = jnp.floor(delta).astype(jnp.int32)
+        frac = (delta - lo)[:, None, :, None]
+        off = lo + m
+        nbits = max(1, int(2 * m - 1).bit_length())
+        cur = jnp.pad(xx, ((0, 0), (m, (1 << nbits) - m), (0, 0), (0, 0)), mode="edge")
+        for k in range(nbits):
+            s = 1 << k
+            bit = ((off >> k) & 1).astype(bool)[:, None, :, None]
+            new_h = cur.shape[1] - s
+            cur = jnp.where(bit, cur[:, s : s + new_h, :, :], cur[:, :new_h, :, :])
+        return (1.0 - frac) * cur[:, :h, :, :] + frac * cur[:, 1 : h + 1, :, :]
+
+    ARMS = {
+        "windows rows + T cols": (
+            A._shift_rows_windows,
+            cols_via_transpose(A._shift_rows_windows),
+        ),
+        "barrel rows + T cols": (A._shift_rows, cols_via_transpose(A._shift_rows)),
+        "barrel rows + direct cols": (A._shift_rows, cols_direct_axis1),
+    }
+
+    def run_with(rows_impl, cols_impl, fn, *fargs):
+        saved = (A._shift_rows, A._shift_cols)
+        A._shift_rows, A._shift_cols = rows_impl, cols_impl
         try:
-            # fresh jit wrapper so each arm compiles its own program
-            fn = jax.jit(
-                lambda k, im: A._chain(k, jnp.tile(im, (3, 1, 1, 1)), 0.25)
-            )
-            out = fn(key, x)
-            float(out.reshape(-1)[0])  # compile + completion barrier
+            out = fn(*fargs)
+            float(out.reshape(-1)[0])  # D2H completion barrier
         finally:
-            A._shift_rows = saved
-        return fn, shift_impl
+            A._shift_rows, A._shift_cols = saved
+        return out
 
-    barrel = make_view(A._shift_rows)
-    windows = make_view(A._shift_rows_windows)
+    compiled = {}
+    for name, (ri, ci) in ARMS.items():
+        fn = jax.jit(lambda k, im: A._chain(k, jnp.tile(im, (3, 1, 1, 1)), 0.25))
+        run_with(ri, ci, fn, key, x)  # compile
+        compiled[name] = fn
 
-    def once(fn, impl):
-        saved = A._shift_rows
-        A._shift_rows = impl
-        try:
-            t0 = time.perf_counter()
-            out = fn(key, x)
-            float(out.reshape(-1)[0])
-            return time.perf_counter() - t0
-        finally:
-            A._shift_rows = saved
-
-    tb, tw = [], []
+    times = {name: [] for name in ARMS}
     for _ in range(args.reps):
-        tw.append(once(*windows))
-        tb.append(once(*barrel))
-    tb.sort(), tw.sort()
-    mb, mw = tb[len(tb) // 2], tw[len(tw) // 2]
+        for name, (ri, ci) in ARMS.items():
+            t0 = time.perf_counter()
+            run_with(ri, ci, compiled[name], key, x)
+            times[name].append(time.perf_counter() - t0)
+
     wb = 3 * args.batch
-    print(f"windows select-accumulate: {mw * 1e3:8.1f} ms  {wb / mw:12.0f} img/s")
-    print(f"barrel shift             : {mb * 1e3:8.1f} ms  {wb / mb:12.0f} img/s")
-    print(f"speedup: {mw / mb:.2f}x (chain view, batch {args.batch} x width 3)")
+    meds = {}
+    for name, ts in times.items():
+        ts.sort()
+        meds[name] = ts[len(ts) // 2]
+        print(f"{name:>28}: {meds[name] * 1e3:8.1f} ms  {wb / meds[name]:12.0f} img/s")
+    base = meds["windows rows + T cols"]
+    for name, m in meds.items():
+        if name != "windows rows + T cols":
+            print(f"{name} vs windows: {base / m:.2f}x")
