@@ -399,6 +399,13 @@ def main(argv=None) -> dict:
                              "coverage: snow's failure mechanism is streak "
                              "occlusion and no base op removes information; "
                              "implies --augmix)")
+    parser.add_argument("--occlude-bars", action="store_true",
+                        help="add the oriented-bar occlusion op (rotated "
+                             "thin rectangles, Random Erasing generalized "
+                             "with an angle) to the AugMix pool — the "
+                             "elongated-occluder analog of --occlude "
+                             "targeting the snow streak geometry; implies "
+                             "--augmix)")
     parser.add_argument("--megastep", type=int, default=0, metavar="K",
                         help="run training as device-resident K-step scans "
                              "(one program, dataset resident on device, "
@@ -429,6 +436,12 @@ def main(argv=None) -> dict:
         if args.ensemble:
             parser.error("--occlude is single-model or KD only for now")
         args.augmix = True  # the occlusion op rides the AugMix chain
+    if args.occlude_bars:
+        if args.ensemble or args.distill_ensemble:
+            # KD op-pool enrichment measured negative for both prior ops
+            # (BENCH.md); the bar op is single-model direct training only
+            parser.error("--occlude-bars is single-model only")
+        args.augmix = True  # the bar op rides the AugMix chain
 
     if args.augmix_ce and not args.ensemble:
         # --augmix-ce is an ensemble-only objective; alone it would silently
@@ -482,7 +495,8 @@ def main(argv=None) -> dict:
             learning_rate=args.lr, seed=args.seed, log_every=args.log_every,
             augmix=args.augmix, js_lam=args.js_lam, sam_rho=args.sam,
             deepaugment=args.deepaugment, freq_aug=args.freqband,
-            occlude_aug=args.occlude, megastep=args.megastep,
+            occlude_aug=args.occlude, bars_aug=args.occlude_bars,
+            megastep=args.megastep,
         )
 
     # held-out split: half for temperature fitting, half for reporting
@@ -538,6 +552,7 @@ def main(argv=None) -> dict:
         **({"deepaugment": True} if args.deepaugment else {}),
         **({"freqband": True} if args.freqband else {}),
         **({"occlude": True} if args.occlude else {}),
+        **({"occlude_bars": True} if args.occlude_bars else {}),
         # serving rebuilds the exact architecture from these — a template
         # mismatch must be impossible, not silently tolerated
         "arch": mp.arch,

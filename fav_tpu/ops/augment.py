@@ -247,6 +247,55 @@ def _occlude(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
     return out
 
 
+def _occlude_bars(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
+    """Oriented-bar occlusions: blank out up to 3 thin *rotated* rectangles
+    per image with random constant fills (Random Erasing generalized with an
+    orientation — the rotated-rectangle member of the Cutout family).
+
+    Why (round-3 snow work): snow is the one structural robustness floor
+    (0.43-0.48 for every model, BENCH.md) and its failure mechanism is
+    *oriented streak* occlusion; the axis-aligned rectangle op moved snow
+    only +0.02-0.04. This op trains inference-from-partial-content under
+    elongated occluders at arbitrary angles. Leak-freedom: the snow cell
+    (fav_tpu/ops/corruptions.py:202) is an *additive* bright overlay —
+    thresholded gaussian noise, zoomed, motion-blurred at a fixed -60°,
+    composited over a whitened image; this op *replaces* pixels with a
+    constant, draws no noise layer, no blur kernel, no whitening, and a
+    uniform random angle — no formula is shared.
+
+    TPU shape: rotated-rectangle masks from two half-plane pair compares on
+    broadcast coordinate grids — no gathers, no control flow. Strict ``<``
+    keeps exact identity at mag 0."""
+    b, h, w, _ = x.shape
+    n_bars = 3
+    kc, ka, kl, kw, kv = jax.random.split(key, 5)
+    ctr = jax.random.uniform(kc, (b, n_bars, 2), jnp.float32)  # (y, x) in [0,1]
+    ang = jax.random.uniform(ka, (b, n_bars), jnp.float32, 0.0, math.pi)
+    half_len = (
+        jax.random.uniform(kl, (b, n_bars), jnp.float32) * (0.45 * mag)[:, None]
+    )
+    half_wid = (
+        jax.random.uniform(kw, (b, n_bars), jnp.float32) * (0.08 * mag)[:, None]
+    )
+    val = jax.random.uniform(kv, (b, n_bars), jnp.float32)
+    ys = (jnp.arange(h, dtype=jnp.float32) / (h - 1))[None, None, :, None]
+    xs = (jnp.arange(w, dtype=jnp.float32) / (w - 1))[None, None, None, :]
+    dy = ys - ctr[:, :, 0][:, :, None, None]  # [B, R, H, 1]
+    dx = xs - ctr[:, :, 1][:, :, None, None]  # [B, R, 1, W]
+    c = jnp.cos(ang)[:, :, None, None]
+    s = jnp.sin(ang)[:, :, None, None]
+    along = dx * c + dy * s  # [B, R, H, W]
+    across = dy * c - dx * s
+    out = x
+    for r in range(n_bars):
+        m = (
+            (jnp.abs(along[:, r]) < half_len[:, r, None, None])
+            & (jnp.abs(across[:, r]) < half_wid[:, r, None, None])
+        )[..., None]
+        out = jnp.where(m, val[:, r][:, None, None, None], out)
+    return out
+
+
 def _signed(key, mag):
     """Magnitude in [0, 1] -> signed value in [-mag, +mag] (random direction)."""
     sign = jnp.where(jax.random.bernoulli(key, shape=mag.shape), 1.0, -1.0)
@@ -255,23 +304,28 @@ def _signed(key, mag):
 
 def _chain(
     key: jax.Array, x: jax.Array, gate_p: float, freq: bool = False,
-    occlude: bool = False,
+    occlude: bool = False, bars: bool = False,
 ) -> jax.Array:
     """One augmentation chain over a batch: gate each op's magnitude per
     image (Bernoulli(gate_p) — the TPU-native form of 'random op subset'),
     then apply geometry (one 3-pass scanline affine) and the pointwise ops
     in fixed order. Gated-off ops are exact identities. ``freq=True``
     extends the op pool with the spectral band-gain op (:func:`_freq_band`,
-    the weather-axis view) and ``occlude=True`` with the rectangular
-    occlusion op (:func:`_occlude`, the snow-axis view) — both opt-in so
-    the base recipe stays reproducible (the key schedule below is bitwise
+    the weather-axis view), ``occlude=True`` with the rectangular occlusion
+    op (:func:`_occlude`) and ``bars=True`` with the oriented-bar occlusion
+    op (:func:`_occlude_bars`, the snow-axis views) — all opt-in so the
+    base recipe stays reproducible (the key schedule below is bitwise
     unchanged when they are off)."""
     b, h, w, _ = x.shape
-    n_ops = NUM_OPS + (1 if freq else 0) + (1 if occlude else 0)
+    n_ops = (
+        NUM_OPS + (1 if freq else 0) + (1 if occlude else 0) + (1 if bars else 0)
+    )
     k_gate, k_mag, k_sign, k_freq = jax.random.split(key, 4)
     k_occ = None
     if occlude:
         k_freq, k_occ = jax.random.split(k_freq)
+    # fold_in keeps the split-derived schedule above bitwise stable when off
+    k_bars = jax.random.fold_in(key, 7) if bars else None
     gates = jax.random.bernoulli(k_gate, gate_p, (n_ops, b)).astype(jnp.float32)
     mags = jax.random.uniform(k_mag, (n_ops, b), jnp.float32) * gates
     signs = jax.random.split(k_sign, 5)
@@ -296,6 +350,9 @@ def _chain(
         nxt += 1
     if occlude:
         x = _occlude(x, mags[nxt], k_occ)
+        nxt += 1
+    if bars:
+        x = _occlude_bars(x, mags[nxt], k_bars)
     return x
 
 
@@ -370,7 +427,8 @@ def augment_op(idx: jax.Array, img: jax.Array, mag: jax.Array, key: jax.Array) -
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "max_depth", "alpha", "freq", "occlude")
+    jax.jit,
+    static_argnames=("width", "max_depth", "alpha", "freq", "occlude", "bars"),
 )
 def augmix(
     key: jax.Array,
@@ -380,14 +438,15 @@ def augmix(
     alpha: float = 1.0,
     freq: bool = False,
     occlude: bool = False,
+    bars: bool = False,
 ) -> jax.Array:
     """AugMix a [B, H, W, C] batch: per-image Dirichlet-weighted mixture of
     ``width`` augmentation chains, Beta-blended with the original. Chains
     gate each op with p = mean_depth / n_ops (mean_depth = E[U{1..max_depth}]),
     so expected chain depth matches the canonical sampler. ``freq=True``
     adds the spectral band-gain op to the pool (weather-axis coverage);
-    ``occlude=True`` adds the rectangular occlusion op (snow-axis
-    coverage)."""
+    ``occlude=True`` adds the rectangular occlusion op and ``bars=True``
+    the oriented-bar occlusion op (snow-axis coverage)."""
     orig_dtype = images.dtype
     images = jax.lax.convert_element_type(images, jnp.float32)
     b = images.shape[0]
@@ -415,11 +474,11 @@ def augmix(
         ]
 
     gate_p = ((1.0 + max_depth) / 2.0) / (
-        NUM_OPS + (1 if freq else 0) + (1 if occlude else 0)
+        NUM_OPS + (1 if freq else 0) + (1 if occlude else 0) + (1 if bars else 0)
     )
     # all chains in one program: [width*B, H, W, C]
     rep = jnp.tile(images, (width, 1, 1, 1))
-    chained = _chain(k_chains, rep, gate_p, freq, occlude).reshape(
+    chained = _chain(k_chains, rep, gate_p, freq, occlude, bars).reshape(
         (width, b) + images.shape[1:]
     )
     mix = jnp.einsum("bw,wbhxc->bhxc", ws, chained)

@@ -74,7 +74,11 @@ def test_ops_disjoint_from_test_corruptions():
     from fav_tpu.ops.augment import _OPS
     from fav_tpu.ops.corruptions import CORRUPTION_NAMES
 
-    op_names = {f.__name__.lstrip("_") for f in _OPS} | {"freq_band", "occlude"}
+    op_names = {f.__name__.lstrip("_") for f in _OPS} | {
+        "freq_band",
+        "occlude",
+        "occlude_bars",
+    }
     assert not op_names & set(CORRUPTION_NAMES)
 
 
@@ -160,6 +164,63 @@ def test_occlude_identity_at_zero_and_blanks_at_one():
     b = int(np.argmax(frac))
     vals = np.unique(np.round(np.asarray(out[b])[changed[b]], 5))
     assert len(vals) <= 6  # 2 rects x 3 channels
+
+
+def test_occlude_bars_identity_at_zero_and_oriented_at_one():
+    """The oriented-bar occlusion op (snow-axis streak geometry): bitwise
+    identity at mag 0 (strict-< masks); at mag 1 it blanks thin rotated
+    bars — constant fills, elongated shape, and across draws the occluded
+    shapes must actually be oblique (not all axis-aligned)."""
+    import numpy as np
+
+    from fav_tpu.ops.augment import _occlude_bars
+
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(1), (6, 32, 32, 3)), 0, 1)
+    ident = _occlude_bars(x, jnp.zeros((6,)), jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(ident), np.asarray(x))
+
+    out = _occlude_bars(x, jnp.ones((6,)), jax.random.PRNGKey(3))
+    assert out.shape == x.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    changed = np.asarray(jnp.any(out != x, axis=-1))  # [B, H, W]
+    frac = changed.mean(axis=(1, 2))
+    assert frac.max() > 0.01  # some image lost a real region
+    assert frac.max() < 0.6  # thin bars never wipe out the image
+    # constant fill: the changed region takes few distinct values
+    b = int(np.argmax(frac))
+    vals = np.unique(np.round(np.asarray(out[b])[changed[b]], 5))
+    assert len(vals) <= 9  # 3 bars x 3 channels
+    # orientation: across many draws, some bar's bounding box must be
+    # substantially larger than its area (an oblique bar fills ~w/d of
+    # its bbox; an axis-aligned rectangle fills ~100%)
+    oblique = False
+    for i in range(10):
+        o = _occlude_bars(x[:1], jnp.ones((1,)), jax.random.PRNGKey(50 + i))
+        ch = np.asarray(jnp.any(o != x[:1], axis=-1))[0]
+        if ch.sum() < 20:
+            continue
+        rows = np.where(ch.any(axis=1))[0]
+        cols = np.where(ch.any(axis=0))[0]
+        bbox = (rows.max() - rows.min() + 1) * (cols.max() - cols.min() + 1)
+        if ch.sum() < 0.55 * bbox:
+            oblique = True
+            break
+    assert oblique, "no draw produced an oblique bar"
+
+
+def test_augmix_bars_variant_differs_and_is_deterministic():
+    import numpy as np
+
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(5), (4, 32, 32, 3)), 0, 1)
+    key = jax.random.PRNGKey(9)
+    base = augmix(key, x)
+    b1 = augmix(key, x, bars=True)
+    b2 = augmix(key, x, bars=True)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=0)
+    assert float(jnp.mean(jnp.abs(b1 - base))) > 1e-4  # different op pool
+    assert float(b1.min()) >= 0.0 and float(b1.max()) <= 1.0
+    # the base pool's draws are bitwise unchanged when the flag is off
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(augmix(key, x)))
 
 
 def test_augmix_occlude_variant_differs_and_is_deterministic():
