@@ -68,6 +68,7 @@ def make_kd_step(
     augmix: bool = False,
     freq: bool = False,
     occlude: bool = False,
+    bf16_aug: bool = False,
 ):
     """One jitted knowledge-distillation step from a stacked-params ensemble.
 
@@ -88,14 +89,14 @@ def make_kd_step(
     """
     core = _kd_step_core(
         student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix,
-        freq, occlude,
+        freq, occlude, bf16_aug,
     )
     return jax.jit(core)
 
 
 def _kd_step_core(
     student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix,
-    freq, occlude=False,
+    freq, occlude=False, bf16_aug=False,
 ):
     """KD step math, shared by the per-step jit and the KD megastep scan."""
 
@@ -105,7 +106,9 @@ def _kd_step_core(
             from fav_tpu.ops.augment import augmix as _augmix
 
             inp = jnp.concatenate(
-                [images, _augmix(key, images, freq=freq, occlude=occlude)], axis=0
+                [images,
+                 _augmix(key, images, freq=freq, occlude=occlude, bf16=bf16_aug)],
+                axis=0,
             )
         else:
             inp = images
@@ -138,6 +141,7 @@ def make_kd_megastep(
     augmix: bool = False,
     freq: bool = False,
     occlude: bool = False,
+    bf16_aug: bool = False,
 ):
     """Device-resident K-step KD megastep (same design as
     ``fav_tpu.models.train.make_train_megastep``): the train set and the
@@ -153,7 +157,7 @@ def make_kd_megastep(
 
     core = _kd_step_core(
         student_apply, teacher_apply, tx, kd_temperature, hard_weight, augmix,
-        freq, occlude,
+        freq, occlude, bf16_aug,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -192,6 +196,7 @@ def distill_ensemble(
     augmix: bool = False,
     freq: bool = False,
     occlude: bool = False,
+    bf16_aug: bool = False,
     megastep: int = 0,
 ) -> Any:
     """Distill a deep ensemble into a (typically *smaller*) student.
@@ -221,7 +226,7 @@ def distill_ensemble(
     if megastep > 0:
         mega = make_kd_megastep(
             student_model.apply, teacher_apply, tx, kd_temperature, hard_weight,
-            augmix=augmix, freq=freq, occlude=occlude,
+            augmix=augmix, freq=freq, occlude=occlude, bf16_aug=bf16_aug,
         )
         images_all = jnp.asarray(images)
         labels_all = jnp.asarray(labels)
@@ -237,7 +242,7 @@ def distill_ensemble(
 
     step = make_kd_step(
         student_model.apply, teacher_apply, tx, kd_temperature, hard_weight,
-        augmix=augmix, freq=freq, occlude=occlude,
+        augmix=augmix, freq=freq, occlude=occlude, bf16_aug=bf16_aug,
     )
     for i in range(steps_done, num_steps):
         idx = next(idx_it)

@@ -292,7 +292,7 @@ def _distill_ensemble(args) -> dict:
         num_steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
         kd_temperature=args.kd_temperature, seed=args.seed, log_every=args.log_every,
         augmix=args.augmix, freq=args.freqband, occlude=args.occlude,
-        megastep=args.megastep,
+        bf16_aug=args.bf16_aug, megastep=args.megastep,
     )
 
     n_val = ds.test_images.shape[0] // 2
@@ -326,6 +326,7 @@ def _distill_ensemble(args) -> dict:
         **({"augmix_distill": True} if args.augmix else {}),
         **({"freqband": True} if args.freqband else {}),
         **({"occlude": True} if args.occlude else {}),
+        **({"bf16_aug": True} if args.bf16_aug else {}),
         "ensemble_size": None,
         "arch": s_mp.arch,
         "widths": list(s_mp.widths),
@@ -406,6 +407,12 @@ def main(argv=None) -> dict:
                              "elongated-occluder analog of --occlude "
                              "targeting the snow streak geometry; implies "
                              "--augmix)")
+    parser.add_argument("--bf16-aug", action="store_true",
+                        help="run the AugMix chain + mixing in bfloat16 "
+                             "(halves the augmentation's HBM traffic — the "
+                             "train step's measured missing third; "
+                             "randomness keys/draws stay f32, see "
+                             "ops/augment.py augmix docstring)")
     parser.add_argument("--megastep", type=int, default=0, metavar="K",
                         help="run training as device-resident K-step scans "
                              "(one program, dataset resident on device, "
@@ -442,6 +449,18 @@ def main(argv=None) -> dict:
             # (BENCH.md); the bar op is single-model direct training only
             parser.error("--occlude-bars is single-model only")
         args.augmix = True  # the bar op rides the AugMix chain
+
+    if args.bf16_aug:
+        if (args.ensemble or args.distill_mc or args.autoencoder
+                or args.sam > 0 or args.deepaugment):
+            # those objectives' step cores don't plumb the bf16 chain —
+            # silently training f32 augmentation would misreport the recipe
+            parser.error("--bf16-aug covers the plain AugMix objective "
+                         "(single-model --augmix or --distill-ensemble "
+                         "--augmix) only")
+        if not args.augmix:
+            parser.error("--bf16-aug needs the AugMix chain (--augmix, or "
+                         "an op flag that implies it)")
 
     if args.augmix_ce and not args.ensemble:
         # --augmix-ce is an ensemble-only objective; alone it would silently
@@ -496,7 +515,7 @@ def main(argv=None) -> dict:
             augmix=args.augmix, js_lam=args.js_lam, sam_rho=args.sam,
             deepaugment=args.deepaugment, freq_aug=args.freqband,
             occlude_aug=args.occlude, bars_aug=args.occlude_bars,
-            megastep=args.megastep,
+            bf16_aug=args.bf16_aug, megastep=args.megastep,
         )
 
     # held-out split: half for temperature fitting, half for reporting
@@ -553,6 +572,7 @@ def main(argv=None) -> dict:
         **({"freqband": True} if args.freqband else {}),
         **({"occlude": True} if args.occlude else {}),
         **({"occlude_bars": True} if args.occlude_bars else {}),
+        **({"bf16_aug": True} if args.bf16_aug else {}),
         # serving rebuilds the exact architecture from these — a template
         # mismatch must be impossible, not silently tolerated
         "arch": mp.arch,

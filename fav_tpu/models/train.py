@@ -80,7 +80,9 @@ def classifier_train_step(
     return _classifier_step_core(apply_fn, tx, state, images, labels, key)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9), donate_argnums=(2,))
+@functools.partial(
+    jax.jit, static_argnums=(0, 1, 7, 8, 9, 10), donate_argnums=(2,)
+)
 def augmix_train_step(
     apply_fn: Callable,
     tx: optax.GradientTransformation,
@@ -92,6 +94,7 @@ def augmix_train_step(
     freq: bool = False,
     occlude: bool = False,
     bars: bool = False,
+    bf16_aug: bool = False,
 ) -> tuple[TrainState, dict]:
     """AugMix train step (Hendrycks et al., ICLR 2020): CE on the clean view
     plus ``js_lam`` x Jensen-Shannon consistency across (clean, augmix1,
@@ -100,20 +103,21 @@ def augmix_train_step(
     Augmentation ops are disjoint from the 15 test corruptions
     (fav_tpu/ops/augment.py), so the corruption grid stays held out."""
     return _augmix_step_core(
-        apply_fn, tx, state, images, labels, key, js_lam, freq, occlude, bars
+        apply_fn, tx, state, images, labels, key, js_lam, freq, occlude, bars,
+        bf16_aug,
     )
 
 
 def _augmix_step_core(
     apply_fn, tx, state, images, labels, key, js_lam, freq, occlude=False,
-    bars=False,
+    bars=False, bf16_aug=False,
 ):
     """AugMix step math, shared by the per-step jit and the megastep scan."""
     from fav_tpu.ops.augment import augmix, js_consistency
 
     k1, k2, kd = jax.random.split(key, 3)
-    aug1 = augmix(k1, images, freq=freq, occlude=occlude, bars=bars)
-    aug2 = augmix(k2, images, freq=freq, occlude=occlude, bars=bars)
+    aug1 = augmix(k1, images, freq=freq, occlude=occlude, bars=bars, bf16=bf16_aug)
+    aug2 = augmix(k2, images, freq=freq, occlude=occlude, bars=bars, bf16=bf16_aug)
     trio = jnp.concatenate([images, aug1, aug2], axis=0)
     b = images.shape[0]
 
@@ -261,6 +265,7 @@ def make_train_megastep(
     freq: bool = False,
     occlude: bool = False,
     bars: bool = False,
+    bf16_aug: bool = False,
     sam_rho: float = 0.0,
     deepaugment: bool = False,
     ae_apply: Callable | None = None,
@@ -329,7 +334,7 @@ def make_train_megastep(
             elif augmix:
                 st, metrics = _augmix_step_core(
                     apply_fn, tx, st, images, labels, step_key, lam, freq,
-                    occlude, bars,
+                    occlude, bars, bf16_aug,
                 )
             else:
                 st, metrics = _classifier_step_core(
@@ -496,6 +501,7 @@ def train_classifier(
     freq_aug: bool = False,
     occlude_aug: bool = False,
     bars_aug: bool = False,
+    bf16_aug: bool = False,
     megastep: int = 0,
 ) -> tuple[Any, dict]:
     """Convenience host loop: train the CNN, return (params, final metrics).
@@ -535,8 +541,9 @@ def train_classifier(
 
         mega = make_train_megastep(
             model.apply, tx, augmix=augmix, js_lam=js_lam, freq=freq_aug,
-            occlude=occlude_aug, bars=bars_aug, sam_rho=sam_rho,
-            deepaugment=deepaugment, ae_apply=ae_apply, ae_params=ae_params,
+            occlude=occlude_aug, bars=bars_aug, bf16_aug=bf16_aug,
+            sam_rho=sam_rho, deepaugment=deepaugment, ae_apply=ae_apply,
+            ae_params=ae_params,
         )
         images_all = jnp.asarray(dataset.train_images)  # resident for the run
         labels_all = jnp.asarray(dataset.train_labels)
@@ -572,7 +579,7 @@ def train_classifier(
         elif augmix:
             state, metrics = augmix_train_step(
                 model.apply, tx, state, jnp.asarray(images), jnp.asarray(labels),
-                step_key, lam, freq_aug, occlude_aug, bars_aug,
+                step_key, lam, freq_aug, occlude_aug, bars_aug, bf16_aug,
             )
         else:
             state, metrics = classifier_train_step(

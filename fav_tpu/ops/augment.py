@@ -77,7 +77,9 @@ def _shift_rows(x: jax.Array, delta: jax.Array, max_shift: int) -> jax.Array:
     m = int(max_shift)
     delta = jnp.clip(delta, -m, m - 1)
     lo = jnp.floor(delta).astype(jnp.int32)  # [B, H] in [-m, m-1]
-    frac = (delta - lo)[:, :, None, None]
+    # offset math stays f32 (tiny [B, H] tensors); the interpolation weight
+    # is cast to the image dtype so a bf16 image stays bf16 end to end
+    frac = (delta - lo).astype(x.dtype)[:, :, None, None]
     off = lo + m  # [B, H] in [0, 2m-1]
     nbits = max(1, int(2 * m - 1).bit_length())
     # xp[b, y, i] is source column i - m, edge-replicated; width w + 2^nbits
@@ -102,7 +104,7 @@ def _shift_rows_windows(x: jax.Array, delta: jax.Array, max_shift: int) -> jax.A
     m = int(max_shift)
     delta = jnp.clip(delta, -m, m - 1)
     lo = jnp.floor(delta).astype(jnp.int32)  # [B, H] in [-m, m-1]
-    frac = (delta - lo)[:, :, None, None]
+    frac = (delta - lo).astype(x.dtype)[:, :, None, None]
     xp = jnp.pad(x, ((0, 0), (0, 0), (m, m), (0, 0)), mode="edge")
     acc_lo = jnp.zeros_like(x)
     acc_hi = jnp.zeros_like(x)
@@ -159,21 +161,21 @@ def _affine_scanline(
 
 def _posterize(x: jax.Array, mag: jax.Array) -> jax.Array:
     # 256 levels (mag 0 ~ identity for 8-bit-sourced frames) down to 4 (mag 1)
-    levels = jnp.round(256.0 - 252.0 * mag)[:, None, None, None]
+    levels = jnp.round(256.0 - 252.0 * mag)[:, None, None, None].astype(x.dtype)
     return jnp.round(x * (levels - 1.0)) / (levels - 1.0)
 
 
 def _solarize(x: jax.Array, mag: jax.Array) -> jax.Array:
     # invert strictly above the threshold; thresh 1.0 (mag 0) inverts nothing
-    thresh = (1.0 - 0.7 * mag)[:, None, None, None]
+    thresh = (1.0 - 0.7 * mag)[:, None, None, None].astype(x.dtype)
     return jnp.where(x > thresh, 1.0 - x, x)
 
 
 def _autocontrast(x: jax.Array, mag: jax.Array) -> jax.Array:
     lo = jnp.min(x, axis=(1, 2), keepdims=True)
     hi = jnp.max(x, axis=(1, 2), keepdims=True)
-    stretched = (x - lo) / jnp.maximum(hi - lo, 1e-6)
-    return x + mag[:, None, None, None] * (stretched - x)
+    stretched = (x - lo) / jnp.maximum(hi - lo, jnp.asarray(1e-6, x.dtype))
+    return x + mag[:, None, None, None].astype(x.dtype) * (stretched - x)
 
 
 def _freq_band(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
@@ -193,7 +195,8 @@ def _freq_band(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
     pure spectral reweighting, identity at mag 0.
     """
     b, h, w, c = x.shape
-    f = jnp.fft.rfft2(x, axes=(1, 2))  # [B, H, W//2+1, C]
+    in_dtype = x.dtype  # FFT is f32-only; upcast here, downcast on return
+    f = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))  # [B, H, W//2+1, C]
     fy = jnp.minimum(jnp.arange(h), h - jnp.arange(h)).astype(jnp.float32) / (h / 2)
     fx = jnp.arange(w // 2 + 1).astype(jnp.float32) / (w / 2)
     r = jnp.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)  # [H, W//2+1], 0..~1.4
@@ -207,7 +210,7 @@ def _freq_band(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
     field = gains[:, jnp.clip(band, 0, 3)]  # [B, H, W//2+1]
     field = jnp.where(r[None] == 0.0, 1.0, field)  # DC untouched
     out = jnp.fft.irfft2(f * field[..., None], s=(h, w), axes=(1, 2))
-    return jnp.clip(out, 0.0, 1.0)
+    return jnp.clip(out, 0.0, 1.0).astype(in_dtype)
 
 
 def _occlude(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
@@ -241,6 +244,7 @@ def _occlude(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
     in_y = jnp.abs(ys - ctr[:, :, 0:1]) < half[:, :, 0:1]  # [B,R,H]
     in_x = jnp.abs(xs - ctr[:, :, 1:2]) < half[:, :, 1:2]  # [B,R,W]
     out = x
+    val = val.astype(x.dtype)  # constant fill in the image dtype
     for r in range(n_rect):
         m = (in_y[:, r, :, None] & in_x[:, r, None, :])[..., None]  # [B,H,W,1]
         out = jnp.where(m, val[:, r][:, None, None, None], out)
@@ -287,6 +291,7 @@ def _occlude_bars(x: jax.Array, mag: jax.Array, key: jax.Array) -> jax.Array:
     along = dx * c + dy * s  # [B, R, H, W]
     across = dy * c - dx * s
     out = x
+    val = val.astype(x.dtype)  # constant fill in the image dtype
     for r in range(n_bars):
         m = (
             (jnp.abs(along[:, r]) < half_len[:, r, None, None])
@@ -428,7 +433,8 @@ def augment_op(idx: jax.Array, img: jax.Array, mag: jax.Array, key: jax.Array) -
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "max_depth", "alpha", "freq", "occlude", "bars"),
+    static_argnames=("width", "max_depth", "alpha", "freq", "occlude", "bars",
+                     "bf16"),
 )
 def augmix(
     key: jax.Array,
@@ -439,6 +445,7 @@ def augmix(
     freq: bool = False,
     occlude: bool = False,
     bars: bool = False,
+    bf16: bool = False,
 ) -> jax.Array:
     """AugMix a [B, H, W, C] batch: per-image Dirichlet-weighted mixture of
     ``width`` augmentation chains, Beta-blended with the original. Chains
@@ -446,7 +453,15 @@ def augmix(
     so expected chain depth matches the canonical sampler. ``freq=True``
     adds the spectral band-gain op to the pool (weather-axis coverage);
     ``occlude=True`` adds the rectangular occlusion op and ``bars=True``
-    the oriented-bar occlusion op (snow-axis coverage)."""
+    the oriented-bar occlusion op (snow-axis coverage).
+
+    ``bf16=True`` runs the [width*B]-sized chain + mixing in bfloat16 (the
+    augmentation is memory-bound VPU work, so halving the bytes halves the
+    HBM traffic — the train step's cost profile in BENCH.md Training). All
+    randomness is still drawn in f32 with the SAME key schedule, geometry
+    offsets stay f32, and the output returns in the input dtype; only the
+    image-sized tensors carry bf16 (~3e-3 mean deviation from the f32 path,
+    pinned by tests — noise far below the augmentation's own randomness)."""
     orig_dtype = images.dtype
     images = jax.lax.convert_element_type(images, jnp.float32)
     b = images.shape[0]
@@ -477,11 +492,16 @@ def augmix(
         NUM_OPS + (1 if freq else 0) + (1 if occlude else 0) + (1 if bars else 0)
     )
     # all chains in one program: [width*B, H, W, C]
-    rep = jnp.tile(images, (width, 1, 1, 1))
+    chain_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    rep = jnp.tile(images.astype(chain_dtype), (width, 1, 1, 1))
     chained = _chain(k_chains, rep, gate_p, freq, occlude, bars).reshape(
         (width, b) + images.shape[1:]
     )
-    mix = jnp.einsum("bw,wbhxc->bhxc", ws, chained)
+    # the [B]-sized mixing tail runs f32 either way (negligible traffic)
+    mix = jnp.einsum(
+        "bw,wbhxc->bhxc", ws, chained.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
     out = jnp.clip(blend * images + (1.0 - blend) * mix, 0.0, 1.0)
     return jax.lax.convert_element_type(out, orig_dtype)
 

@@ -223,6 +223,43 @@ def test_augmix_bars_variant_differs_and_is_deterministic():
     np.testing.assert_array_equal(np.asarray(base), np.asarray(augmix(key, x)))
 
 
+def test_augmix_bf16_close_to_f32_and_deterministic():
+    """The bf16 chain (augmix(..., bf16=True)) must track the f32 path: same
+    key schedule (randomness is still drawn f32), f32 output dtype, and the
+    deviation bounded by compounding bf16 rounding — mean |diff| well under
+    1e-2 with isolated pixels allowed a posterize-bucket flip (the one op
+    whose rounding boundary can move a full quantum)."""
+    x = jnp.clip(jax.random.uniform(jax.random.PRNGKey(11), (8, 32, 32, 3)), 0, 1)
+    key = jax.random.PRNGKey(4)
+    f32 = augmix(key, x)
+    b16 = augmix(key, x, bf16=True)
+    assert b16.dtype == x.dtype and b16.shape == x.shape
+    assert float(b16.min()) >= 0.0 and float(b16.max()) <= 1.0
+    np.testing.assert_array_equal(np.asarray(b16), np.asarray(augmix(key, x, bf16=True)))
+    diff = np.abs(np.asarray(f32) - np.asarray(b16))
+    assert diff.mean() < 0.01, f"mean bf16 deviation {diff.mean():.4f}"
+    assert np.quantile(diff, 0.99) < 0.05, f"p99 {np.quantile(diff, 0.99):.4f}"
+    # and the flag must change nothing about the f32 path's draws
+    np.testing.assert_array_equal(np.asarray(f32), np.asarray(augmix(key, x)))
+
+
+def test_shift_rows_bf16_barrel_matches_windows_oracle():
+    """The barrel-shift and window-select forms share their arithmetic, so
+    they must stay bitwise identical in bf16 exactly as they do in f32."""
+    from fav_tpu.ops.augment import _shift_rows, _shift_rows_windows
+
+    x = jax.random.uniform(
+        jax.random.PRNGKey(2), (3, 16, 16, 3), jnp.float32
+    ).astype(jnp.bfloat16)
+    delta = jax.random.uniform(jax.random.PRNGKey(5), (3, 16), jnp.float32, -5.0, 5.0)
+    a = _shift_rows(x, delta, 6)
+    b = _shift_rows_windows(x, delta, 6)
+    assert a.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)
+    )
+
+
 def test_augmix_occlude_variant_differs_and_is_deterministic():
     import numpy as np
 
