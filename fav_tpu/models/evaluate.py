@@ -53,9 +53,21 @@ def main(argv=None) -> dict:
                              "ALPHA (e.g. 0.1): calibrate on held-out clean "
                              "data, report coverage + set size per grid cell "
                              "(fav_tpu/models/conformal.py; fused path only)")
+    parser.add_argument("--monitor", type=str, default=None, metavar="DIR",
+                        help="decoupled predictor/monitor deployment: "
+                             "predictions (accuracy) come from the main "
+                             "checkpoint, the failure score and operative "
+                             "calibration come from this independent "
+                             "checkpoint's confidence on the same corrupted "
+                             "batch (the reference's bounded-ML invariant "
+                             "applied across the model zoo; predictor "
+                             "self-scores kept as auroc_self/ece_self)")
     args = parser.parse_args(argv)
     if args.conformal and args.per_cell:
         parser.error("--conformal requires the fused sweep path")
+    if args.monitor and (args.per_cell or args.conformal or args.tta > 1):
+        parser.error("--monitor requires the fused sweep path and is "
+                     "mutually exclusive with --conformal/--tta")
 
     import jax
 
@@ -153,6 +165,33 @@ def main(argv=None) -> dict:
         params, _ = train_classifier(model, ds, num_steps=args.train_steps)
         source = f"trained:{args.train_steps}steps"
 
+    monitor = None
+    if args.monitor:
+        # monitor checkpoint must exist — a random-init monitor would score
+        # noise and silently report a broken deployment as measured
+        import dataclasses
+
+        mon_meta_path = os.path.join(args.monitor, "metadata.json")
+        if not os.path.isfile(mon_meta_path):
+            parser.error(f"--monitor: no checkpoint at {args.monitor}")
+        with open(mon_meta_path) as f:
+            mon_meta = json.load(f)
+        mon_mp = ModelParams()
+        mon_overrides = {
+            k: mon_meta[k]
+            for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads")
+            if mon_meta.get(k) is not None
+        }
+        if mon_meta.get("widths"):
+            mon_overrides["widths"] = tuple(mon_meta["widths"])
+        mon_mp = dataclasses.replace(mon_mp, **mon_overrides)
+        mon_model = create_model(mon_mp)
+        mon_params = mon_model.init(jax.random.PRNGKey(0), sample)
+        mon_params, mon_meta = restore_checkpoint(args.monitor, mon_params)
+        monitor = (
+            mon_model.apply, mon_params, float(mon_meta.get("temperature", 1.0)),
+        )
+
     n = min(args.num_images, ds.test_images.shape[0])
     images = jnp.asarray(ds.test_images[:n])
     labels = jnp.asarray(ds.test_labels[:n])
@@ -163,6 +202,8 @@ def main(argv=None) -> dict:
     # budget in a single 75-cell program — bound the chunk size by the
     # forwards-per-cell multiplier (fused_sweep docstring)
     multi = max(args.ensemble, args.mc_dropout, args.tta, 1)
+    if monitor is not None:
+        multi += 1  # the monitor forward rides every cell
     cells_per_call = 0 if multi <= 1 else max(1, 25 // multi)
     want_probs = args.conformal > 0.0
     if jax.device_count() > 1 and n % jax.device_count() == 0:
@@ -171,7 +212,7 @@ def main(argv=None) -> dict:
                              corruptions=names, temperature=temperature,
                              fused=not args.per_cell,
                              cells_per_call=cells_per_call,
-                             return_probs=want_probs)
+                             return_probs=want_probs, monitor=monitor)
     else:
         if args.per_cell:
             grid = corruption_sweep(apply_fn, params, images, labels, key,
@@ -180,7 +221,7 @@ def main(argv=None) -> dict:
             grid = fused_sweep(apply_fn, params, images, labels, key,
                                corruptions=names, temperature=temperature,
                                cells_per_call=cells_per_call,
-                               return_probs=want_probs)
+                               return_probs=want_probs, monitor=monitor)
     conformal_summary = None
     if want_probs:
         from fav_tpu.models.conformal import attach_conformal_metrics
@@ -211,6 +252,14 @@ def main(argv=None) -> dict:
         if with_fail:
             for m in ("auroc", "auroc_energy", "aupr", "fpr_at_95"):
                 out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
+            if all("auroc_self" in c for c in with_fail):
+                out["auroc_self"] = round(
+                    sum(c["auroc_self"] for c in with_fail) / len(with_fail), 4
+                )
+        if all("ece_self" in c for c in cells.values()):
+            out["ece_self"] = round(
+                sum(c["ece_self"] for c in cells.values()) / len(cells), 4
+            )
         if all("coverage" in c for c in cells.values()):
             out["coverage"] = round(sum(c["coverage"] for c in cells.values()) / len(cells), 4)
             out["set_size"] = round(sum(c["set_size"] for c in cells.values()) / len(cells), 3)
@@ -237,6 +286,15 @@ def main(argv=None) -> dict:
         "devices": jax.device_count(),
         "data_source": ds.source,
         **({"tta_views": args.tta} if args.tta > 1 else {}),
+        **(
+            {
+                "monitor": args.monitor,
+                "mean_failure_auroc_self": overall_mean("auroc_self"),
+                "mean_ece_self": overall_mean("ece_self"),
+            }
+            if monitor is not None
+            else {}
+        ),
     }
     if conformal_summary is not None:
         overall["conformal"] = conformal_summary

@@ -136,6 +136,45 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
     return {m: jnp.stack(vs) for m, vs in stacked.items()}
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 10))
+def _fused_grid_monitored(cells, apply_fn, mon_apply, params, mon_params,
+                          images, labels, key, temperature, mon_temperature,
+                          base):
+    """Monitored variant of :func:`_fused_grid`: a *predictor* model supplies
+    the predictions and an independent *monitor* model supplies the
+    confidence that scores them — the decoupled predictor/monitor deployment
+    (the reference's bounded-ML invariant, reference platform/README.md:58-64,
+    applied across the model zoo: an accuracy-optimized predictor gated by a
+    calibration-optimized monitor). Both models see the SAME corrupted batch
+    (same fold_in key schedule as the plain grid), so cells are bitwise
+    comparable with single-model runs."""
+    stacked: dict[str, list] = {}
+    for i, (name, sev) in enumerate(cells):
+        k = jax.random.fold_in(key, base + i)
+        corrupted = corruption_fn(name)(k, images, sev)
+        logits = apply_fn(params, corrupted)
+        probs = jax.nn.softmax(logits / temperature, axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        preds = jnp.argmax(probs, axis=-1)
+        logp = jnp.log(jnp.where(probs > 0, probs, 1.0))
+        onehot = jax.nn.one_hot(labels, probs.shape[-1], dtype=probs.dtype)
+        mon_logits = mon_apply(mon_params, corrupted)
+        mon_probs = jax.nn.softmax(mon_logits / mon_temperature, axis=-1)
+        per_sample = {
+            "conf": conf,
+            "correct": (preds == labels).astype(jnp.float32),
+            "fail": failure_labels(preds, labels).astype(jnp.float32),
+            "entropy": -jnp.sum(probs * logp, axis=-1),
+            "brier": jnp.sum((probs - onehot) ** 2, axis=-1),
+            "anomaly": anomaly_from_confidence(conf),
+            "energy": energy_score(logits),
+            "mon_conf": jnp.max(mon_probs, axis=-1),
+        }
+        for m, v in per_sample.items():
+            stacked.setdefault(m, []).append(v)
+    return {m: jnp.stack(vs) for m, vs in stacked.items()}
+
+
 def _np_auroc(scores, labels):
     """Tie-aware Mann-Whitney AUROC (NumPy mirror of calibration.auroc)."""
     import numpy as np
@@ -221,7 +260,12 @@ def _np_ece(conf, correct, num_bins: int = 15):
 
 def _finalize_cell(ps: dict) -> dict[str, float]:
     """Host finalization of one cell's per-sample scalars -> the metric dict
-    (same keys/semantics as :func:`_cell_metrics`)."""
+    (same keys/semantics as :func:`_cell_metrics`). If the cell carries a
+    monitor confidence row (``mon_conf``, from
+    :func:`_fused_grid_monitored`), the detection metrics (AUROC/AUPR/
+    FPR@95) and the operative ECE score the *monitor's* uncertainty against
+    the *predictor's* failures — the deployment-relevant pairing — with the
+    predictor's own confidence kept as ``auroc_self``/``ece_self``."""
     import numpy as np
 
     conf = ps["conf"]
@@ -229,21 +273,27 @@ def _finalize_cell(ps: dict) -> dict[str, float]:
     # uncertainty in f32 first — the on-device path computes 1-conf in f32,
     # and tie structure must match for the rank metrics to agree exactly
     unc = (1.0 - np.asarray(conf, np.float32)).astype(np.float64)
-    return {
+    score_conf = ps.get("mon_conf", conf)
+    score_unc = (1.0 - np.asarray(score_conf, np.float32)).astype(np.float64)
+    out = {
         "accuracy": float(np.mean(ps["correct"])),
-        "mean_confidence": float(np.mean(conf)),
+        "mean_confidence": float(np.mean(score_conf)),
         "mean_entropy": float(np.mean(ps["entropy"])),
         "failure_rate": float(np.mean(fails)),
-        "auroc": _np_auroc(unc, fails),
+        "auroc": _np_auroc(score_unc, fails),
         "auroc_energy": _np_auroc(
             np.asarray(ps["energy"], np.float32).astype(np.float64), fails
         ),
-        "aupr": _np_aupr(unc, fails),
-        "fpr_at_95": _np_fpr_at_95_tpr(unc, fails),
-        "ece": _np_ece(conf, ps["correct"]),
+        "aupr": _np_aupr(score_unc, fails),
+        "fpr_at_95": _np_fpr_at_95_tpr(score_unc, fails),
+        "ece": _np_ece(score_conf, ps["correct"]),
         "brier": float(np.mean(ps["brier"])),
         "mean_anomaly": float(np.mean(ps["anomaly"])),
     }
+    if "mon_conf" in ps:
+        out["auroc_self"] = _np_auroc(unc, fails)
+        out["ece_self"] = _np_ece(conf, ps["correct"])
+    return out
 
 
 def fused_sweep(
@@ -257,6 +307,7 @@ def fused_sweep(
     temperature: jax.Array | float = 1.0,
     cells_per_call: int = 0,
     return_probs: bool = False,
+    monitor: tuple | None = None,
 ) -> Any:
     """Full grid as ONE compiled program + ONE dispatch (or a few, chunked).
 
@@ -283,16 +334,33 @@ def fused_sweep(
     prob rows to host and returns ``(results, cells, probs)`` with ``probs``
     a list of [B, C] arrays aligned with ``cells`` — the input to conformal
     coverage-under-shift scoring (evaluate ``--conformal``).
+
+    ``monitor=(mon_apply, mon_params, mon_temperature)`` runs the decoupled
+    predictor/monitor deployment (:func:`_fused_grid_monitored`): predictions
+    and accuracy come from ``apply_fn``/``params``, the failure score and the
+    operative calibration come from the monitor's confidence on the SAME
+    corrupted batch. The predictor's self-scored AUROC/ECE are kept as
+    ``auroc_self``/``ece_self`` per cell. Mutually exclusive with
+    ``return_probs`` (conformal stays a single-model property).
     """
+    if monitor is not None and return_probs:
+        raise ValueError("monitor and return_probs are mutually exclusive")
     cells = tuple((str(n), int(s)) for n in corruptions for s in severities)
     step = cells_per_call or len(cells)
     host: dict[str, list] = {}
     for start in range(0, len(cells), step):
         chunk = cells[start : start + step]
-        out = _fused_grid(
-            chunk, apply_fn, params, images, labels, key, temperature, start,
-            return_probs,
-        )
+        if monitor is not None:
+            mon_apply, mon_params, mon_temperature = monitor
+            out = _fused_grid_monitored(
+                chunk, apply_fn, mon_apply, params, mon_params, images,
+                labels, key, temperature, mon_temperature, start,
+            )
+        else:
+            out = _fused_grid(
+                chunk, apply_fn, params, images, labels, key, temperature,
+                start, return_probs,
+            )
         for m, v in jax.device_get(out).items():  # one D2H per chunk
             host.setdefault(m, []).extend(v)  # [cells, B] rows
     probs_rows = host.pop("probs", None)
@@ -344,11 +412,14 @@ def sharded_sweep(
     fused: bool = False,
     cells_per_call: int = 0,
     return_probs: bool = False,
+    monitor: tuple | None = None,
 ) -> Any:
     """Same grid with images/labels sharded over the mesh's data axis and
     params replicated. The per-cell jitted program is unchanged — XLA inserts
     the ICI collectives for the scalar reductions (SURVEY.md §5.8).
     ``fused=True`` runs the whole grid as one program (:func:`fused_sweep`).
+    ``monitor`` (fused only) replicates the monitor's params over the mesh
+    like the predictor's — see :func:`fused_sweep`.
 
     On a multi-slice mesh (built by :func:`fav_tpu.parallel.mesh.
     build_multislice_mesh`, axes ``(dcn, data, ensemble, model)``) the batch
@@ -364,11 +435,16 @@ def sharded_sweep(
     images = jax.device_put(images, img_sh)
     labels = jax.device_put(labels, lbl_sh)
     params = jax.device_put(params, rep)
+    if monitor is not None:
+        mon_apply, mon_params, mon_t = monitor
+        monitor = (mon_apply, jax.device_put(mon_params, rep), mon_t)
     if fused:
         return fused_sweep(
             apply_fn, params, images, labels, key, corruptions, severities,
-            temperature, cells_per_call, return_probs,
+            temperature, cells_per_call, return_probs, monitor,
         )
+    if monitor is not None:
+        raise ValueError("monitor requires the fused sweep path")
     return corruption_sweep(
         apply_fn, params, images, labels, key, corruptions, severities, temperature
     )

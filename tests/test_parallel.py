@@ -447,3 +447,112 @@ def test_fused_sweep_return_probs_consistent(model_and_params):
         for metric in plain[n][s]:
             assert plain[n][s][metric] == pytest.approx(
                 got[n][s][metric], abs=3e-5), (n, s, metric)
+
+
+def test_monitored_sweep_self_monitor_reproduces_plain(model_and_params):
+    """monitor=(predictor itself) must reproduce the plain sweep exactly:
+    same corrupted batches (same fold_in schedule), so accuracy AND every
+    detection metric agree, and auroc_self/ece_self equal the operative
+    auroc/ece."""
+    from fav_tpu.parallel.sweep import fused_sweep
+
+    model, params = model_and_params
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=3)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    names = ("gaussian_noise", "snow")
+    sevs = (1, 5)
+    key = jax.random.PRNGKey(9)
+    plain = fused_sweep(model.apply, params, x, y, key, names, sevs,
+                        temperature=1.3)
+    mon = fused_sweep(model.apply, params, x, y, key, names, sevs,
+                      temperature=1.3, monitor=(model.apply, params, 1.3))
+    for n in names:
+        for s in sevs:
+            for metric in ("accuracy", "mean_confidence", "auroc", "aupr",
+                           "fpr_at_95", "ece", "brier"):
+                assert plain[n][s][metric] == pytest.approx(
+                    mon[n][s][metric], abs=3e-5
+                ), (n, s, metric)
+            assert mon[n][s]["auroc_self"] == pytest.approx(
+                mon[n][s]["auroc"], abs=3e-5
+            )
+            assert mon[n][s]["ece_self"] == pytest.approx(
+                mon[n][s]["ece"], abs=3e-5
+            )
+
+
+def test_monitored_sweep_decoupled_scores(model_and_params):
+    """With a DISTINCT monitor: predictions (accuracy/failure_rate/brier)
+    must be bitwise those of the predictor-only sweep (same corrupted
+    batch), while the operative confidence comes from the monitor —
+    mean_confidence matches the monitor's own sweep of the same cells."""
+    from fav_tpu.parallel.sweep import fused_sweep
+
+    model, params = model_and_params
+    mon_model = create_model(ModelParams(widths=(8, 16), dense_width=16))
+    mon_params = mon_model.init(jax.random.PRNGKey(4), jnp.zeros((1, 32, 32, 3)))
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=4)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    names = ("contrast",)
+    sevs = (2, 4)
+    key = jax.random.PRNGKey(17)
+    plain = fused_sweep(model.apply, params, x, y, key, names, sevs,
+                        temperature=1.1)
+    mon_own = fused_sweep(mon_model.apply, mon_params, x, y, key, names, sevs,
+                          temperature=0.9)
+    got = fused_sweep(model.apply, params, x, y, key, names, sevs,
+                      temperature=1.1,
+                      monitor=(mon_model.apply, mon_params, 0.9))
+    for n in names:
+        for s in sevs:
+            for metric in ("accuracy", "failure_rate", "brier"):
+                assert got[n][s][metric] == pytest.approx(
+                    plain[n][s][metric], abs=3e-5
+                ), (n, s, metric)
+            # operative confidence is the monitor's
+            assert got[n][s]["mean_confidence"] == pytest.approx(
+                mon_own[n][s]["mean_confidence"], abs=3e-5
+            )
+            # predictor self-scores preserved
+            assert got[n][s]["auroc_self"] == pytest.approx(
+                plain[n][s]["auroc"], abs=3e-5
+            )
+            assert got[n][s]["ece_self"] == pytest.approx(
+                plain[n][s]["ece"], abs=3e-5
+            )
+    # monitor and return_probs are mutually exclusive
+    with pytest.raises(ValueError):
+        fused_sweep(model.apply, params, x, y, key, names, sevs,
+                    return_probs=True,
+                    monitor=(mon_model.apply, mon_params, 1.0))
+
+
+def test_monitored_sweep_sharded_matches(model_and_params):
+    """sharded_sweep(monitor=...) over the 8-device data axis must reproduce
+    the single-device monitored grid (params/monitor replicated, batch
+    sharded)."""
+    from fav_tpu.parallel.sweep import fused_sweep, sharded_sweep
+
+    model, params = model_and_params
+    mon_model = create_model(ModelParams(widths=(8, 16), dense_width=16))
+    mon_params = mon_model.init(jax.random.PRNGKey(4), jnp.zeros((1, 32, 32, 3)))
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=5)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    names = ("fog",)
+    sevs = (3,)
+    key = jax.random.PRNGKey(21)
+    ref = fused_sweep(model.apply, params, x, y, key, names, sevs,
+                      temperature=1.2,
+                      monitor=(mon_model.apply, mon_params, 0.8))
+    mesh = build_mesh((8, 1, 1))
+    got = sharded_sweep(mesh, model.apply, params, x, y, key,
+                        corruptions=names, severities=sevs, temperature=1.2,
+                        fused=True,
+                        monitor=(mon_model.apply, mon_params, 0.8))
+    for metric in ref["fog"][3]:
+        assert ref["fog"][3][metric] == pytest.approx(
+            got["fog"][3][metric], abs=3e-5), metric
+    with pytest.raises(ValueError):
+        sharded_sweep(mesh, model.apply, params, x, y, key,
+                      corruptions=names, severities=sevs, fused=False,
+                      monitor=(mon_model.apply, mon_params, 0.8))
