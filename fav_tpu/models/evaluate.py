@@ -252,14 +252,12 @@ def main(argv=None) -> dict:
         if with_fail:
             for m in ("auroc", "auroc_energy", "aupr", "fpr_at_95"):
                 out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
-            if all("auroc_self" in c for c in with_fail):
-                out["auroc_self"] = round(
-                    sum(c["auroc_self"] for c in with_fail) / len(with_fail), 4
-                )
-        if all("ece_self" in c for c in cells.values()):
-            out["ece_self"] = round(
-                sum(c["ece_self"] for c in cells.values()) / len(cells), 4
-            )
+            for m in ("auroc_self", "auroc_gated"):
+                if all(m in c for c in with_fail):
+                    out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
+        for m in ("ece_self", "ece_gated"):
+            if all(m in c for c in cells.values()):
+                out[m] = round(sum(c[m] for c in cells.values()) / len(cells), 4)
         if all("coverage" in c for c in cells.values()):
             out["coverage"] = round(sum(c["coverage"] for c in cells.values()) / len(cells), 4)
             out["set_size"] = round(sum(c["set_size"] for c in cells.values()) / len(cells), 3)
@@ -291,6 +289,8 @@ def main(argv=None) -> dict:
                 "monitor": args.monitor,
                 "mean_failure_auroc_self": overall_mean("auroc_self"),
                 "mean_ece_self": overall_mean("ece_self"),
+                "mean_failure_auroc_gated": overall_mean("auroc_gated"),
+                "mean_ece_gated": overall_mean("ece_gated"),
             }
             if monitor is not None
             else {}

@@ -293,6 +293,18 @@ def _finalize_cell(ps: dict) -> dict[str, float]:
     if "mon_conf" in ps:
         out["auroc_self"] = _np_auroc(unc, fails)
         out["ece_self"] = _np_ece(conf, ps["correct"])
+        # min-gated operative confidence: the trust lattice's
+        # "explicit failure dominates" rule applied to the pair — keep the
+        # predictor's ranking where both agree, cap it wherever the
+        # independent monitor disagrees (host-side: both per-sample rows
+        # already rode the one D2H)
+        gated = np.minimum(
+            np.asarray(conf, np.float32), np.asarray(score_conf, np.float32)
+        )
+        gated_unc = (1.0 - gated).astype(np.float64)
+        out["auroc_gated"] = _np_auroc(gated_unc, fails)
+        out["ece_gated"] = _np_ece(gated, ps["correct"])
+        out["mean_confidence_gated"] = float(np.mean(gated))
     return out
 
 

@@ -479,6 +479,13 @@ def test_monitored_sweep_self_monitor_reproduces_plain(model_and_params):
             assert mon[n][s]["ece_self"] == pytest.approx(
                 mon[n][s]["ece"], abs=3e-5
             )
+            # min(conf, conf) == conf: gated metrics collapse to self
+            assert mon[n][s]["auroc_gated"] == pytest.approx(
+                mon[n][s]["auroc"], abs=3e-5
+            )
+            assert mon[n][s]["ece_gated"] == pytest.approx(
+                mon[n][s]["ece"], abs=3e-5
+            )
 
 
 def test_monitored_sweep_decoupled_scores(model_and_params):
@@ -520,6 +527,10 @@ def test_monitored_sweep_decoupled_scores(model_and_params):
             assert got[n][s]["ece_self"] == pytest.approx(
                 plain[n][s]["ece"], abs=3e-5
             )
+            # the min-gate can only lower the operative confidence
+            assert got[n][s]["mean_confidence_gated"] <= min(
+                got[n][s]["mean_confidence"], plain[n][s]["mean_confidence"]
+            ) + 3e-5
     # monitor and return_probs are mutually exclusive
     with pytest.raises(ValueError):
         fused_sweep(model.apply, params, x, y, key, names, sevs,
