@@ -201,6 +201,14 @@ class ServerParams:
     # checkpoints/student_compact to serve the ensemble-distilled compact
     # student (arch is rebuilt from checkpoint metadata either way).
     checkpoint: str = ""
+    # decoupled predictor/monitor serving (BENCH.md "Decoupled
+    # predictor/monitor deployment"): FAV_SERVER_MONITOR=<checkpoint dir>
+    # runs an independent calibrated model in the same micro-batched forward
+    # and min-gates the reported confidence ("explicit failure dominates"
+    # applied to the pair — the measured fix for accuracy-champion
+    # checkpoints that are confidently wrong under shift). "" = single-model
+    # serving, unchanged.
+    monitor: str = ""
     # micro-batch frame analysis across connections (one device call for N
     # live streams instead of N calls; fav_tpu/serving/analysis.py)
     batched_analysis: bool = True

@@ -398,6 +398,7 @@ def create_app(config: FrameworkConfig | None = None, frontend_dir: str | None =
             max_wait_ms=cfg.server.inference_max_wait_ms,
             uncertainty=cfg.server.uncertainty,
             timer=timer,  # device-call latency shows up in /api/metrics
+            monitor_dir=cfg.server.monitor or None,
         )
         if cfg.server.model_scoring
         else None

@@ -44,15 +44,32 @@ class InferenceService:
         max_wait_ms: float = 4.0,
         uncertainty: str = "msp",
         timer=None,
+        monitor_dir: str | None = None,
     ):
         """``uncertainty``: 'msp' (single deterministic forward, cheapest),
         'mc_dropout' (cfg.mc_samples stochastic replicas, adds epistemic
         mutual information), 'ensemble' (cfg.ensemble_size members from a
         stacked checkpoint or stacked random init), or 'autoencoder'
         (reconstruction-error anomaly — the reference's canonical ML design,
-        reference docs/system_notes.md:146-170)."""
+        reference docs/system_notes.md:146-170).
+
+        ``monitor_dir``: decoupled predictor/monitor serving — an
+        independent calibrated checkpoint rides the SAME micro-batched
+        forward and the reported ``confidence`` becomes
+        ``min(predictor, monitor)`` (the trust lattice's explicit-failure-
+        dominates rule applied to the pair; measured in BENCH.md
+        "Decoupled predictor/monitor deployment" — it closes the
+        confidently-wrong-under-shift hole of accuracy-champion
+        checkpoints). The predictor's own confidence is still reported as
+        ``confidence_self``. The monitor checkpoint MUST restore — a
+        monitor silently gating with random weights would corrupt the
+        confidence semantics, so a bad ``monitor_dir`` fails the service
+        loudly instead of degrading."""
         if uncertainty not in ("msp", "mc_dropout", "ensemble", "autoencoder"):
             raise ValueError(f"unknown uncertainty mode: {uncertainty}")
+        if monitor_dir and uncertainty == "autoencoder":
+            raise ValueError("monitor_dir gates class confidence; the "
+                             "autoencoder mode has none")
         self.cfg = model_params or ModelParams()
         self.max_wait = max_wait_ms / 1e3
         self.uncertainty = uncertainty
@@ -63,6 +80,8 @@ class InferenceService:
         self.ready = False  # True once the model is built/compiled
         self.source = "uninitialized"
         self._checkpoint_dir = checkpoint_dir
+        self._monitor_dir = monitor_dir
+        self.monitor_source: str | None = None
         self._forward = None
         self._params = None
         self._temperature = 1.0
@@ -191,13 +210,53 @@ class InferenceService:
         # growing sets = the frame is sliding out of the certified regime)
         qhat = self._meta.get("conformal_qhat")
 
-        def summarize(member_probs):
-            """Pack every score into ONE [B, 6] float32 array — a single
-            device-to-host fetch per batch. Per-field fetches cost a blocking
-            round trip each over the tunneled TPU backend (~165 ms p50 at 8
-            live streams, measured); packing removed that entirely."""
+        mon_conf_fn = None
+        if self._monitor_dir:
+            # the monitor must restore or the service fails loudly (see
+            # __init__ docstring) — a silently-random monitor would gate
+            # the reported confidence with noise
+            import dataclasses
+            import json
+
+            from fav_tpu.utils.checkpoint import restore_checkpoint
+
+            mon_meta_path = os.path.join(self._monitor_dir, "metadata.json")
+            if not os.path.isfile(mon_meta_path):
+                raise ValueError(
+                    f"monitor checkpoint missing: {self._monitor_dir}"
+                )
+            with open(mon_meta_path) as f:
+                mon_meta = json.load(f)
+            mon_cfg = ModelParams()
+            mon_overrides = {
+                k: mon_meta[k]
+                for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads")
+                if mon_meta.get(k) is not None
+            }
+            if mon_meta.get("widths"):
+                mon_overrides["widths"] = tuple(mon_meta["widths"])
+            mon_cfg = dataclasses.replace(mon_cfg, **mon_overrides)
+            mon_model = create_model(mon_cfg)
+            mon_params = mon_model.init(jax.random.PRNGKey(0), sample)
+            mon_params, mon_meta = restore_checkpoint(self._monitor_dir, mon_params)
+            mon_t = float(mon_meta.get("temperature", 1.0))
+            self.monitor_source = f"checkpoint:{self._monitor_dir}"
+
+            def mon_conf_fn(images):
+                probs = jax.nn.softmax(mon_model.apply(mon_params, images) / mon_t, -1)
+                return jnp.max(probs, axis=-1)
+
+        def summarize(member_probs, mon_conf=None):
+            """Pack every score into ONE [B, 6] float32 array ([B, 7] when a
+            monitor gates) — a single device-to-host fetch per batch.
+            Per-field fetches cost a blocking round trip each over the
+            tunneled TPU backend (~165 ms p50 at 8 live streams, measured);
+            packing removed that entirely. With a monitor: column 1 becomes
+            the min-gated operative confidence (and drives the anomaly),
+            column 6 keeps the predictor's own confidence."""
             mean_probs = jnp.mean(member_probs, axis=0)
-            conf = jnp.max(mean_probs, axis=-1)
+            self_conf = jnp.max(mean_probs, axis=-1)
+            conf = self_conf if mon_conf is None else jnp.minimum(self_conf, mon_conf)
             if qhat is not None:
                 from fav_tpu.models.conformal import prediction_sets, set_sizes
 
@@ -205,23 +264,26 @@ class InferenceService:
             else:
                 sizes = jnp.full(conf.shape, -1, jnp.int32)  # sentinel: absent
             f32 = jnp.float32
-            return jnp.stack(
-                [
-                    jnp.argmax(mean_probs, axis=-1).astype(f32),
-                    conf.astype(f32),
-                    anomaly_from_confidence(conf).astype(f32),
-                    predictive_entropy(mean_probs).astype(f32),
-                    mutual_information(member_probs).astype(f32),
-                    sizes.astype(f32),
-                ],
-                axis=-1,
-            )
+            cols = [
+                jnp.argmax(mean_probs, axis=-1).astype(f32),
+                conf.astype(f32),
+                anomaly_from_confidence(conf).astype(f32),
+                predictive_entropy(mean_probs).astype(f32),
+                mutual_information(member_probs).astype(f32),
+                sizes.astype(f32),
+            ]
+            if mon_conf is not None:
+                cols.append(self_conf.astype(f32))
+            return jnp.stack(cols, axis=-1)
 
         @jax.jit
         def forward(params, images, key):
+            mon_conf = mon_conf_fn(images) if mon_conf_fn is not None else None
             if mode == "msp":
                 logits = model.apply(params, images)
-                return summarize(jax.nn.softmax(logits / temperature, -1)[None])
+                return summarize(
+                    jax.nn.softmax(logits / temperature, -1)[None], mon_conf
+                )
             if mode == "mc_dropout":
                 # per-call key: replicas must not reuse identical dropout
                 # masks across frames, or the epistemic spread is a constant
@@ -231,12 +293,12 @@ class InferenceService:
                     logits = model.apply(params, images, train=True, rngs={"dropout": k})
                     return jax.nn.softmax(logits / temperature, -1)
 
-                return summarize(jax.vmap(one)(keys))
+                return summarize(jax.vmap(one)(keys), mon_conf)
             # ensemble: vmap over the stacked member axis
             member = jax.vmap(
                 lambda p: jax.nn.softmax(model.apply(p, images) / temperature, -1)
             )(params)
-            return summarize(member)
+            return summarize(member, mon_conf)
 
         self._forward = forward
         self._params = params
@@ -288,6 +350,8 @@ class InferenceService:
         if self._meta.get("conformal_qhat") is not None:
             info["conformal_alpha"] = self._meta.get("conformal_alpha")
             info["conformal_qhat"] = self._meta.get("conformal_qhat")
+        if self._monitor_dir:
+            info["monitor"] = self.monitor_source or f"pending:{self._monitor_dir}"
         if self.restore_error:
             info["error"] = f"checkpoint restore failed: {self.restore_error}"
         return info
@@ -435,4 +499,8 @@ class InferenceService:
             res["mutual_information"] = round(float(row[4]), 4)
         if row[5] >= 0:
             res["conformal_set_size"] = int(row[5])
+        if row.shape[0] > 6:
+            # monitored serving: row[1] was the min-gated confidence; the
+            # predictor's own confidence rides the extra column
+            res["confidence_self"] = round(float(row[6]), 4)
         return res

@@ -644,3 +644,83 @@ def test_evaluate_cli_tta_smoke(tmp_path):
     assert 0.0 <= result["summary"]["mean_corrupted_accuracy"] <= 1.0
     again = evaluate.main(args)
     assert again["grid"] == result["grid"]  # deterministic view keys
+
+
+def test_inference_service_monitor_gates_confidence(tmp_path):
+    """Decoupled predictor/monitor serving (monitor_dir): the reported
+    confidence must be min(predictor, monitor) with the predictor's own
+    confidence kept as confidence_self, and info() must badge the monitor
+    source. Same frame through an unmonitored service pins the self side."""
+    import asyncio
+
+    import jax
+    import jax.numpy as jnp
+
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.serving.inference import InferenceService
+    from fav_tpu.utils.checkpoint import save_checkpoint
+
+    sample = jnp.zeros((1, 32, 32, 3))
+    pred_model = create_model(SMALL)
+    save_checkpoint(
+        str(tmp_path / "pred"), pred_model.init(jax.random.PRNGKey(1), sample),
+        {"widths": [8, 16], "dense_width": 16, "temperature": 1.0},
+    )
+    mon_cfg = ModelParams(widths=(4, 8), dense_width=8)
+    mon_model = create_model(mon_cfg)
+    save_checkpoint(
+        str(tmp_path / "mon"), mon_model.init(jax.random.PRNGKey(2), sample),
+        {"widths": [4, 8], "dense_width": 8, "temperature": 0.9},
+    )
+
+    frame = np.random.default_rng(3).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+
+    async def run(service):
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    plain = asyncio.run(run(
+        InferenceService(SMALL, checkpoint_dir=str(tmp_path / "pred"))
+    ))
+    gated = asyncio.run(run(
+        InferenceService(SMALL, checkpoint_dir=str(tmp_path / "pred"),
+                         monitor_dir=str(tmp_path / "mon"))
+    ))
+    assert "confidence_self" in gated and "confidence_self" not in plain
+    assert gated["confidence_self"] == pytest.approx(plain["confidence"], abs=1e-3)
+    assert gated["confidence"] <= gated["confidence_self"] + 1e-6
+    assert gated["prediction"] == plain["prediction"]
+    # the gated anomaly reflects the gated confidence (monotone map)
+    assert gated["model_anomaly"] >= plain["model_anomaly"] - 1e-6
+
+    service = InferenceService(SMALL, checkpoint_dir=str(tmp_path / "pred"),
+                               monitor_dir=str(tmp_path / "mon"))
+    res = asyncio.run(run(service))
+    assert service.info()["monitor"] == f"checkpoint:{tmp_path / 'mon'}"
+    assert res["confidence"] <= res["confidence_self"] + 1e-6
+
+
+def test_inference_service_monitor_must_restore(tmp_path):
+    """A monitor_dir that cannot restore must fail the service loudly (a
+    silently-random monitor would gate the confidence with noise)."""
+    import asyncio
+
+    from fav_tpu.serving.inference import InferenceService
+
+    service = InferenceService(
+        SMALL, checkpoint_dir=str(tmp_path / "none"),
+        monitor_dir=str(tmp_path / "missing_monitor"),
+    )
+    frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+
+    async def run():
+        return await asyncio.wait_for(service.score_frame(frame), timeout=60)
+
+    with pytest.raises(RuntimeError):
+        asyncio.run(run())
+    assert "error" in service.source
+
+    with pytest.raises(ValueError):
+        InferenceService(SMALL, uncertainty="autoencoder",
+                         monitor_dir=str(tmp_path / "mon"))
