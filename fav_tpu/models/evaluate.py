@@ -116,23 +116,33 @@ def main(argv=None) -> dict:
             mp = dataclasses.replace(mp, **overrides)
     model = create_model(mp)
     sample = jnp.zeros((1,) + ds.test_images.shape[1:], jnp.float32)
+    # multi-forward scorers hand the sweep STACKED member logits [M, B, C]:
+    # sweep._reduce_members keeps predictions on the logit average (bitwise
+    # what the mean-apply path computed) and additionally scores the BALD
+    # mutual-information row (epistemic disagreement as a third detection
+    # signal). ``apply_fn`` stays the flat mean for single-output consumers
+    # (conformal calibration).
+    member_apply = None
     if args.ensemble:
         from fav_tpu.models.uncertainty import init_ensemble
 
         params = init_ensemble(model, jax.random.PRNGKey(0), sample, args.ensemble)
-        # logit-averaged ensemble rides the same sweep unchanged
-        apply_fn = lambda p, x: jnp.mean(  # noqa: E731
-            jax.vmap(lambda q: model.apply(q, x))(p), axis=0
-        )
+        member_apply = lambda p, x: jax.vmap(  # noqa: E731
+            lambda q: model.apply(q, x)
+        )(p)
+        apply_fn = lambda p, x: jnp.mean(member_apply(p, x), axis=0)  # noqa: E731
     elif args.mc_dropout:
         params = model.init(jax.random.PRNGKey(0), sample)
         mc_keys = jax.random.split(jax.random.PRNGKey(7), args.mc_dropout)
 
-        def apply_fn(p, x):
+        def member_apply(p, x):
             def one(k):
                 return model.apply(p, x, train=True, rngs={"dropout": k})
 
-            return jnp.mean(jax.vmap(one)(mc_keys), axis=0)
+            return jax.vmap(one)(mc_keys)
+
+        def apply_fn(p, x):
+            return jnp.mean(member_apply(p, x), axis=0)
     else:
         params = model.init(jax.random.PRNGKey(0), sample)
         apply_fn = model.apply
@@ -144,15 +154,21 @@ def main(argv=None) -> dict:
         # deterministic (fold_in per view).
         from fav_tpu.ops.augment import augmix as _augmix
 
-        base_apply = apply_fn
         tta_key = jax.random.PRNGKey(11)
 
-        def apply_fn(p, x, _base=base_apply):  # noqa: F811 — deliberate wrap
-            logits = _base(p, x)
-            for i in range(args.tta - 1):
-                view = _augmix(jax.random.fold_in(tta_key, i), x)
-                logits = logits + _base(p, view)
-            return logits / args.tta
+        def _tta_wrap(_base):
+            def wrapped(p, x):
+                logits = _base(p, x)
+                for i in range(args.tta - 1):
+                    view = _augmix(jax.random.fold_in(tta_key, i), x)
+                    logits = logits + _base(p, view)
+                return logits / args.tta
+
+            return wrapped
+
+        apply_fn = _tta_wrap(apply_fn)  # noqa: F811 — deliberate wrap
+        if member_apply is not None:
+            member_apply = _tta_wrap(member_apply)
 
     temperature = 1.0
     source = "random_init"
@@ -206,19 +222,20 @@ def main(argv=None) -> dict:
         multi += 1  # the monitor forward rides every cell
     cells_per_call = 0 if multi <= 1 else max(1, 25 // multi)
     want_probs = args.conformal > 0.0
+    sweep_apply = member_apply if member_apply is not None else apply_fn
     if jax.device_count() > 1 and n % jax.device_count() == 0:
         mesh = build_mesh((jax.device_count(), 1, 1))
-        grid = sharded_sweep(mesh, apply_fn, params, images, labels, key,
+        grid = sharded_sweep(mesh, sweep_apply, params, images, labels, key,
                              corruptions=names, temperature=temperature,
                              fused=not args.per_cell,
                              cells_per_call=cells_per_call,
                              return_probs=want_probs, monitor=monitor)
     else:
         if args.per_cell:
-            grid = corruption_sweep(apply_fn, params, images, labels, key,
+            grid = corruption_sweep(sweep_apply, params, images, labels, key,
                                     corruptions=names, temperature=temperature)
         else:
-            grid = fused_sweep(apply_fn, params, images, labels, key,
+            grid = fused_sweep(sweep_apply, params, images, labels, key,
                                corruptions=names, temperature=temperature,
                                cells_per_call=cells_per_call,
                                return_probs=want_probs, monitor=monitor)
@@ -252,10 +269,10 @@ def main(argv=None) -> dict:
         if with_fail:
             for m in ("auroc", "auroc_energy", "aupr", "fpr_at_95"):
                 out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
-            for m in ("auroc_self", "auroc_gated"):
+            for m in ("auroc_self", "auroc_gated", "auroc_mi"):
                 if all(m in c for c in with_fail):
                     out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
-        for m in ("ece_self", "ece_gated"):
+        for m in ("ece_self", "ece_gated", "mean_mi"):
             if all(m in c for c in cells.values()):
                 out[m] = round(sum(c[m] for c in cells.values()) / len(cells), 4)
         if all("coverage" in c for c in cells.values()):
@@ -277,6 +294,12 @@ def main(argv=None) -> dict:
         ),
         "mean_failure_auroc": overall_mean("auroc"),
         "mean_failure_auroc_energy": overall_mean("auroc_energy"),
+        # BALD mutual information — only multi-forward scorers have a
+        # member axis to disagree over
+        **(
+            {"mean_failure_auroc_mi": overall_mean("auroc_mi")}
+            if (args.ensemble or args.mc_dropout) else {}
+        ),
         "mean_failure_aupr": overall_mean("aupr"),
         "mean_fpr_at_95": overall_mean("fpr_at_95"),
         "mean_ece": overall_mean("ece"),

@@ -32,10 +32,42 @@ from fav_tpu.models.calibration import (
     failure_labels,
     fpr_at_95_tpr,
 )
-from fav_tpu.models.uncertainty import anomaly_from_confidence, energy_score
+from fav_tpu.models.uncertainty import (
+    anomaly_from_confidence,
+    energy_score,
+    mutual_information,
+)
 from fav_tpu.ops.corruptions import CORRUPTION_NAMES, SEVERITIES, corruption_fn
 
 __all__ = ["corruption_sweep", "fused_sweep", "sharded_sweep", "sweep_cell"]
+
+
+def _member_mi(logits: jax.Array, temperature) -> jax.Array:
+    """BALD mutual information (Houlsby et al. 2011) for stacked member
+    logits [M, B, C] — the epistemic share of the predictive uncertainty.
+    Members that *agree* on a flat distribution (hard input, aleatoric)
+    score ~0; members that are each confident but *disagree* (model doesn't
+    know, epistemic) score high. This is the decomposition MSP/entropy
+    cannot see: the reference's failure definition (high-confidence wrong
+    prediction, reference README.md:22-24) is precisely an epistemic
+    failure, so the ensemble / MC-dropout paths score it as a third
+    detection signal next to MSP and energy. The math lives in
+    :func:`fav_tpu.models.uncertainty.mutual_information` — the SAME score
+    serving streams per frame (serving/inference.py summarize col 4)."""
+    probs = jax.nn.softmax(logits / temperature, axis=-1)  # [M, B, C]
+    return mutual_information(probs)  # [B]
+
+
+def _reduce_members(logits: jax.Array, temperature):
+    """Multi-forward scorers hand the sweep stacked member logits [M, B, C]
+    (ensembles: one leading axis per member; MC-dropout: per replica). The
+    *predictions* stay the logit average — bitwise-identical to the
+    pre-MI ensemble path — and the member axis additionally yields the BALD
+    mutual-information row. Single-model [B, C] logits pass through with
+    ``mi=None``."""
+    if logits.ndim == 3:
+        return jnp.mean(logits, axis=0), _member_mi(logits, temperature)
+    return logits, None
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 6))
@@ -61,6 +93,7 @@ def sweep_cell(
 
 
 def _cell_metrics(logits, labels, temperature):
+    logits, mi = _reduce_members(logits, temperature)
     probs = jax.nn.softmax(logits / temperature, axis=-1)
     conf = jnp.max(probs, axis=-1)
     preds = jnp.argmax(probs, axis=-1)
@@ -68,7 +101,7 @@ def _cell_metrics(logits, labels, temperature):
     logp = jnp.log(jnp.where(probs > 0, probs, 1.0))
     entropy = -jnp.sum(probs * logp, axis=-1)
     correct = (preds == labels).astype(jnp.float32)
-    return {
+    out = {
         "accuracy": jnp.mean(correct),
         "mean_confidence": jnp.mean(conf),
         "mean_entropy": jnp.mean(entropy),
@@ -88,6 +121,12 @@ def _cell_metrics(logits, labels, temperature):
         "brier": brier_score(probs, labels),
         "mean_anomaly": jnp.mean(anomaly_from_confidence(conf)),
     }
+    if mi is not None:
+        # epistemic decomposition (BALD): members' disagreement as a third
+        # detection signal next to MSP (calibrated confidence) and energy
+        out["mean_mi"] = jnp.mean(mi)
+        out["auroc_mi"] = auroc(mi, fails)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))
@@ -111,7 +150,7 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
     for i, (name, sev) in enumerate(cells):
         k = jax.random.fold_in(key, base + i)
         corrupted = corruption_fn(name)(k, images, sev)
-        logits = apply_fn(params, corrupted)
+        logits, mi = _reduce_members(apply_fn(params, corrupted), temperature)
         probs = jax.nn.softmax(logits / temperature, axis=-1)
         conf = jnp.max(probs, axis=-1)
         preds = jnp.argmax(probs, axis=-1)
@@ -126,6 +165,9 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
             "anomaly": anomaly_from_confidence(conf),
             "energy": energy_score(logits),
         }
+        if mi is not None:
+            # BALD epistemic row — one extra [B] float per cell on the D2H
+            per_sample["mi"] = mi
         if want_probs:
             # full temperature-scaled prob rows for host-side conformal
             # scoring (fav_tpu/models/conformal.py): +C floats/sample D2H,
@@ -152,7 +194,7 @@ def _fused_grid_monitored(cells, apply_fn, mon_apply, params, mon_params,
     for i, (name, sev) in enumerate(cells):
         k = jax.random.fold_in(key, base + i)
         corrupted = corruption_fn(name)(k, images, sev)
-        logits = apply_fn(params, corrupted)
+        logits, mi = _reduce_members(apply_fn(params, corrupted), temperature)
         probs = jax.nn.softmax(logits / temperature, axis=-1)
         conf = jnp.max(probs, axis=-1)
         preds = jnp.argmax(probs, axis=-1)
@@ -170,6 +212,8 @@ def _fused_grid_monitored(cells, apply_fn, mon_apply, params, mon_params,
             "energy": energy_score(logits),
             "mon_conf": jnp.max(mon_probs, axis=-1),
         }
+        if mi is not None:
+            per_sample["mi"] = mi
         for m, v in per_sample.items():
             stacked.setdefault(m, []).append(v)
     return {m: jnp.stack(vs) for m, vs in stacked.items()}
@@ -290,6 +334,10 @@ def _finalize_cell(ps: dict) -> dict[str, float]:
         "brier": float(np.mean(ps["brier"])),
         "mean_anomaly": float(np.mean(ps["anomaly"])),
     }
+    if "mi" in ps:
+        mi = np.asarray(ps["mi"], np.float32).astype(np.float64)
+        out["mean_mi"] = float(np.mean(mi))
+        out["auroc_mi"] = _np_auroc(mi, fails)
     if "mon_conf" in ps:
         out["auroc_self"] = _np_auroc(unc, fails)
         out["ece_self"] = _np_ece(conf, ps["correct"])
