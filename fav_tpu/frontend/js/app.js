@@ -90,6 +90,13 @@
         setEl.textContent = msg.ml_inference.conformal_set_size !== undefined
           ? String(msg.ml_inference.conformal_set_size) : "—";
       }
+      // epistemic disagreement (BALD MI): only multi-forward serving modes
+      // (ensemble / mc_dropout) have a member axis to disagree over
+      var miEl = $("ml-mi");
+      if (miEl) {
+        miEl.textContent = msg.ml_inference.mutual_information !== undefined
+          ? fmt(msg.ml_inference.mutual_information, 3) : "—";
+      }
     }
     renderEvents(msg.failure_events);
   }
