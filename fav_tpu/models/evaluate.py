@@ -269,10 +269,10 @@ def main(argv=None) -> dict:
         if with_fail:
             for m in ("auroc", "auroc_energy", "aupr", "fpr_at_95"):
                 out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
-            for m in ("auroc_self", "auroc_gated", "auroc_mi"):
+            for m in ("auroc_self", "auroc_gated", "auroc_mi", "auroc_vote"):
                 if all(m in c for c in with_fail):
                     out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
-        for m in ("ece_self", "ece_gated", "mean_mi"):
+        for m in ("ece_self", "ece_gated", "mean_mi", "ece_vote", "mean_agreement"):
             if all(m in c for c in cells.values()):
                 out[m] = round(sum(c[m] for c in cells.values()) / len(cells), 4)
         if all("coverage" in c for c in cells.values()):
@@ -297,7 +297,12 @@ def main(argv=None) -> dict:
         # BALD mutual information — only multi-forward scorers have a
         # member axis to disagree over
         **(
-            {"mean_failure_auroc_mi": overall_mean("auroc_mi")}
+            {
+                "mean_failure_auroc_mi": overall_mean("auroc_mi"),
+                # vote-gated deployment pairing: min(MSP, member agreement)
+                "mean_failure_auroc_vote": overall_mean("auroc_vote"),
+                "mean_ece_vote": overall_mean("ece_vote"),
+            }
             if (args.ensemble or args.mc_dropout) else {}
         ),
         "mean_failure_aupr": overall_mean("aupr"),

@@ -63,11 +63,19 @@ def _reduce_members(logits: jax.Array, temperature):
     (ensembles: one leading axis per member; MC-dropout: per replica). The
     *predictions* stay the logit average — bitwise-identical to the
     pre-MI ensemble path — and the member axis additionally yields the BALD
-    mutual-information row. Single-model [B, C] logits pass through with
-    ``mi=None``."""
+    mutual-information row plus the vote-agreement row (the fraction of
+    members whose own argmax matches the ensemble prediction — a bounded
+    [1/M, 1] confidence-shaped signal the min-gate below can cap MSP with).
+    Single-model [B, C] logits pass through with ``(logits, None, None)``."""
     if logits.ndim == 3:
-        return jnp.mean(logits, axis=0), _member_mi(logits, temperature)
-    return logits, None
+        mean_logits = jnp.mean(logits, axis=0)
+        ens_pred = jnp.argmax(mean_logits, axis=-1)  # [B]
+        member_pred = jnp.argmax(logits, axis=-1)  # [M, B]
+        agree = jnp.mean(
+            (member_pred == ens_pred[None, :]).astype(jnp.float32), axis=0
+        )
+        return mean_logits, _member_mi(logits, temperature), agree
+    return logits, None, None
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 6))
@@ -93,7 +101,7 @@ def sweep_cell(
 
 
 def _cell_metrics(logits, labels, temperature):
-    logits, mi = _reduce_members(logits, temperature)
+    logits, mi, agree = _reduce_members(logits, temperature)
     probs = jax.nn.softmax(logits / temperature, axis=-1)
     conf = jnp.max(probs, axis=-1)
     preds = jnp.argmax(probs, axis=-1)
@@ -126,6 +134,17 @@ def _cell_metrics(logits, labels, temperature):
         # detection signal next to MSP (calibrated confidence) and energy
         out["mean_mi"] = jnp.mean(mi)
         out["auroc_mi"] = auroc(mi, fails)
+    if agree is not None:
+        # vote-gated operative confidence: min(MSP, member vote agreement) —
+        # the trust lattice's "explicit failure dominates" rule applied
+        # INSIDE one ensemble (the monitor gate's intra-model analog): keeps
+        # MSP's ranking where members vote together, caps it where they split
+        gated = jnp.minimum(conf, agree)
+        gcorrect = (preds == labels).astype(jnp.float32)
+        out["mean_agreement"] = jnp.mean(agree)
+        out["mean_confidence_vote"] = jnp.mean(gated)
+        out["auroc_vote"] = auroc(1.0 - gated, fails)
+        out["ece_vote"] = expected_calibration_error(gated, gcorrect)
     return out
 
 
@@ -150,7 +169,7 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
     for i, (name, sev) in enumerate(cells):
         k = jax.random.fold_in(key, base + i)
         corrupted = corruption_fn(name)(k, images, sev)
-        logits, mi = _reduce_members(apply_fn(params, corrupted), temperature)
+        logits, mi, agree = _reduce_members(apply_fn(params, corrupted), temperature)
         probs = jax.nn.softmax(logits / temperature, axis=-1)
         conf = jnp.max(probs, axis=-1)
         preds = jnp.argmax(probs, axis=-1)
@@ -166,8 +185,10 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
             "energy": energy_score(logits),
         }
         if mi is not None:
-            # BALD epistemic row — one extra [B] float per cell on the D2H
+            # BALD epistemic + vote-agreement rows — two extra [B] floats
+            # per cell on the D2H
             per_sample["mi"] = mi
+            per_sample["agree"] = agree
         if want_probs:
             # full temperature-scaled prob rows for host-side conformal
             # scoring (fav_tpu/models/conformal.py): +C floats/sample D2H,
@@ -194,7 +215,7 @@ def _fused_grid_monitored(cells, apply_fn, mon_apply, params, mon_params,
     for i, (name, sev) in enumerate(cells):
         k = jax.random.fold_in(key, base + i)
         corrupted = corruption_fn(name)(k, images, sev)
-        logits, mi = _reduce_members(apply_fn(params, corrupted), temperature)
+        logits, mi, agree = _reduce_members(apply_fn(params, corrupted), temperature)
         probs = jax.nn.softmax(logits / temperature, axis=-1)
         conf = jnp.max(probs, axis=-1)
         preds = jnp.argmax(probs, axis=-1)
@@ -214,6 +235,7 @@ def _fused_grid_monitored(cells, apply_fn, mon_apply, params, mon_params,
         }
         if mi is not None:
             per_sample["mi"] = mi
+            per_sample["agree"] = agree
         for m, v in per_sample.items():
             stacked.setdefault(m, []).append(v)
     return {m: jnp.stack(vs) for m, vs in stacked.items()}
@@ -338,6 +360,15 @@ def _finalize_cell(ps: dict) -> dict[str, float]:
         mi = np.asarray(ps["mi"], np.float32).astype(np.float64)
         out["mean_mi"] = float(np.mean(mi))
         out["auroc_mi"] = _np_auroc(mi, fails)
+    if "agree" in ps:
+        # vote-gated operative confidence (see _cell_metrics): min(MSP,
+        # member vote agreement) — the monitor min-gate's intra-model analog
+        agree = np.asarray(ps["agree"], np.float32)
+        gated = np.minimum(np.asarray(conf, np.float32), agree)
+        out["mean_agreement"] = float(np.mean(agree))
+        out["mean_confidence_vote"] = float(np.mean(gated))
+        out["auroc_vote"] = _np_auroc((1.0 - gated).astype(np.float64), fails)
+        out["ece_vote"] = _np_ece(gated, ps["correct"])
     if "mon_conf" in ps:
         out["auroc_self"] = _np_auroc(unc, fails)
         out["ece_self"] = _np_ece(conf, ps["correct"])

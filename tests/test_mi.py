@@ -82,6 +82,28 @@ def test_fused_sweep_scores_mi_and_keeps_predictions(tiny_inputs):
         assert 0.0 <= s["auroc_mi"] <= 1.0
 
 
+def test_vote_gate_rows(tiny_inputs):
+    images, labels, w, member_apply = tiny_inputs
+    key = jax.random.PRNGKey(42)
+    kw = dict(corruptions=("brightness",), severities=(1,), temperature=1.0)
+    cell = fused_sweep(member_apply, w, images, labels, key, **kw)["brightness"][1]
+    # agreement is the fraction of members voting the ensemble argmax —
+    # per-sample in {0, 1/3, 2/3, 1} (0 is possible: the logit average can
+    # land on a class no member individually ranks first)
+    assert 0.0 <= cell["mean_agreement"] <= 1.0
+    # min-gating can only lower the operative confidence
+    assert cell["mean_confidence_vote"] <= cell["mean_confidence"] + 1e-6
+    assert 0.0 <= cell["auroc_vote"] <= 1.0 and cell["ece_vote"] >= 0.0
+
+    # identical members: full agreement, gate is a no-op on every metric
+    w_same = jnp.stack([w[0], w[0], w[0]])
+    same = fused_sweep(member_apply, w_same, images, labels, key, **kw)["brightness"][1]
+    assert same["mean_agreement"] == pytest.approx(1.0)
+    assert same["mean_confidence_vote"] == pytest.approx(same["mean_confidence"], abs=1e-6)
+    assert same["auroc_vote"] == pytest.approx(same["auroc"], abs=1e-6)
+    assert same["ece_vote"] == pytest.approx(same["ece"], abs=1e-6)
+
+
 def test_per_cell_path_matches_fused_mi(tiny_inputs):
     images, labels, w, member_apply = tiny_inputs
     key = jax.random.PRNGKey(42)
@@ -89,5 +111,6 @@ def test_per_cell_path_matches_fused_mi(tiny_inputs):
     fused = fused_sweep(member_apply, w, images, labels, key, **kw)
     cellwise = corruption_sweep(member_apply, w, images, labels, key, **kw)
     f, c = fused["brightness"][1], cellwise["brightness"][1]
-    assert c["mean_mi"] == pytest.approx(f["mean_mi"], abs=1e-5)
-    assert c["auroc_mi"] == pytest.approx(f["auroc_mi"], abs=1e-5)
+    for m in ("mean_mi", "auroc_mi", "mean_agreement", "auroc_vote",
+              "ece_vote", "mean_confidence_vote"):
+        assert c[m] == pytest.approx(f[m], abs=1e-5), m
