@@ -78,6 +78,11 @@ class FailureAwareCNN(nn.Module):
         x = nn.Dense(self.dense_width, dtype=dt)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        # penultimate features for feature-space failure scores (Mahalanobis,
+        # models/mahalanobis.py); sow is a no-op unless the caller marks
+        # 'intermediates' mutable, and flax init() denies the collection, so
+        # params/checkpoints/serving are unchanged
+        self.sow("intermediates", "features", x)
         # logits in float32: softmax/temperature math needs the precision
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
 
@@ -131,6 +136,8 @@ class ResNetSmall(nn.Module):
         h = nn.GroupNorm(num_groups=min(32, self.widths[-1]), dtype=dt)(h)
         h = nn.relu(h)
         h = jnp.mean(h, axis=(-3, -2))
+        # penultimate (post-GAP) features — see FailureAwareCNN's sow note
+        self.sow("intermediates", "features", h)
         return nn.Dense(self.num_classes, dtype=jnp.float32)(h)
 
 

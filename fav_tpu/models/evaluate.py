@@ -53,6 +53,15 @@ def main(argv=None) -> dict:
                              "ALPHA (e.g. 0.1): calibrate on held-out clean "
                              "data, report coverage + set size per grid cell "
                              "(fav_tpu/models/conformal.py; fused path only)")
+    parser.add_argument("--maha", action="store_true",
+                        help="feature-space failure scores: fit class-"
+                             "conditional Gaussians on penultimate train-set "
+                             "features and report per-cell Mahalanobis + "
+                             "relative-Mahalanobis AUROC (auroc_maha/"
+                             "auroc_rmd; fav_tpu/models/mahalanobis.py). "
+                             "Single-forward scorers only")
+    parser.add_argument("--maha-fit-images", type=int, default=10240,
+                        help="train images used for the Gaussian fit")
     parser.add_argument("--monitor", type=str, default=None, metavar="DIR",
                         help="decoupled predictor/monitor deployment: "
                              "predictions (accuracy) come from the main "
@@ -68,6 +77,11 @@ def main(argv=None) -> dict:
     if args.monitor and (args.per_cell or args.conformal or args.tta > 1):
         parser.error("--monitor requires the fused sweep path and is "
                      "mutually exclusive with --conformal/--tta")
+    if args.maha and (args.ensemble or args.mc_dropout or args.tta > 1
+                      or args.conformal or args.monitor):
+        parser.error("--maha is a single-forward feature-space score; it is "
+                     "mutually exclusive with --ensemble/--mc-dropout/--tta/"
+                     "--conformal/--monitor")
 
     import jax
 
@@ -181,6 +195,30 @@ def main(argv=None) -> dict:
         params, _ = train_classifier(model, ds, num_steps=args.train_steps)
         source = f"trained:{args.train_steps}steps"
 
+    if args.maha:
+        # feature-space failure scores: fit class Gaussians on penultimate
+        # TRAIN-set features (the in-distribution manifold), then wrap the
+        # scorer so every cell also ships Mahalanobis / relative-Mahalanobis
+        # rows (sweep extra-score contract). The fit matrices are closure-
+        # baked into the jitted program as constants — never per-call jit
+        # arguments (CLAUDE.md tunnel-backend lesson).
+        from fav_tpu.models.mahalanobis import (
+            collect_features,
+            features_and_logits,
+            fit_feature_gaussians,
+            mahalanobis_scores,
+        )
+
+        n_fit = min(args.maha_fit_images, ds.train_images.shape[0])
+        fit_feats = collect_features(model, params, jnp.asarray(ds.train_images[:n_fit]))
+        maha_fit = fit_feature_gaussians(
+            fit_feats, ds.train_labels[:n_fit], mp.num_classes
+        )
+
+        def apply_fn(p, x, _fit=maha_fit):  # noqa: F811 — deliberate wrap
+            feats, logits = features_and_logits(model, p, x)
+            return logits, mahalanobis_scores(feats, _fit)
+
     monitor = None
     if args.monitor:
         # monitor checkpoint must exist — a random-init monitor would score
@@ -269,10 +307,12 @@ def main(argv=None) -> dict:
         if with_fail:
             for m in ("auroc", "auroc_energy", "aupr", "fpr_at_95"):
                 out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
-            for m in ("auroc_self", "auroc_gated", "auroc_mi", "auroc_vote"):
+            for m in ("auroc_self", "auroc_gated", "auroc_mi", "auroc_vote",
+                      "auroc_maha", "auroc_rmd"):
                 if all(m in c for c in with_fail):
                     out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
-        for m in ("ece_self", "ece_gated", "mean_mi", "ece_vote", "mean_agreement"):
+        for m in ("ece_self", "ece_gated", "mean_mi", "ece_vote", "mean_agreement",
+                  "mean_maha", "mean_rmd"):
             if all(m in c for c in cells.values()):
                 out[m] = round(sum(c[m] for c in cells.values()) / len(cells), 4)
         if all("coverage" in c for c in cells.values()):
@@ -304,6 +344,15 @@ def main(argv=None) -> dict:
                 "mean_ece_vote": overall_mean("ece_vote"),
             }
             if (args.ensemble or args.mc_dropout) else {}
+        ),
+        # feature-space scores (Lee et al. 2018 / Ren et al. 2021) — the
+        # detection axis logit-space signals cannot see
+        **(
+            {
+                "mean_failure_auroc_maha": overall_mean("auroc_maha"),
+                "mean_failure_auroc_rmd": overall_mean("auroc_rmd"),
+            }
+            if args.maha else {}
         ),
         "mean_failure_aupr": overall_mean("aupr"),
         "mean_fpr_at_95": overall_mean("fpr_at_95"),

@@ -95,8 +95,12 @@ class VisionTransformer(nn.Module):
                 self.compute_dtype, name=f"block_{i}",
             )(h, train=train)
         h = nn.LayerNorm(dtype=dt)(h)
+        feats = h[:, 0]
+        # penultimate (CLS-token) features for feature-space failure scores
+        # (models/mahalanobis.py); no-op unless 'intermediates' is mutable
+        self.sow("intermediates", "features", feats)
         # logits in float32: softmax/temperature math needs the precision
-        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(h[:, 0])
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(feats)
 
 
 def tp_shard_vit_params(mesh, params):

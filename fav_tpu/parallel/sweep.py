@@ -58,6 +58,19 @@ def _member_mi(logits: jax.Array, temperature) -> jax.Array:
     return mutual_information(probs)  # [B]
 
 
+def _split_output(out):
+    """Extra-score contract: ``apply_fn`` may return ``(logits, extra)``
+    where ``extra`` is a dict of per-sample rows [B], higher = more
+    anomalous (e.g. the feature-space Mahalanobis scores,
+    :mod:`fav_tpu.models.mahalanobis`). Each extra row becomes
+    ``auroc_<name>`` / ``mean_<name>`` per cell in every sweep path and
+    rides the fused paths' existing single D2H. Plain logits pass through
+    unchanged."""
+    if isinstance(out, tuple):
+        return out
+    return out, None
+
+
 def _reduce_members(logits: jax.Array, temperature):
     """Multi-forward scorers hand the sweep stacked member logits [M, B, C]
     (ensembles: one leading axis per member; MC-dropout: per replica). The
@@ -96,11 +109,11 @@ def sweep_cell(
     CIFAR-10-C ships as files.
     """
     corrupted = corruption_fn(name)(key, images, severity)
-    logits = apply_fn(params, corrupted)
-    return _cell_metrics(logits, labels, temperature)
+    logits, extra = _split_output(apply_fn(params, corrupted))
+    return _cell_metrics(logits, labels, temperature, extra)
 
 
-def _cell_metrics(logits, labels, temperature):
+def _cell_metrics(logits, labels, temperature, extra=None):
     logits, mi, agree = _reduce_members(logits, temperature)
     probs = jax.nn.softmax(logits / temperature, axis=-1)
     conf = jnp.max(probs, axis=-1)
@@ -145,6 +158,11 @@ def _cell_metrics(logits, labels, temperature):
         out["mean_confidence_vote"] = jnp.mean(gated)
         out["auroc_vote"] = auroc(1.0 - gated, fails)
         out["ece_vote"] = expected_calibration_error(gated, gcorrect)
+    if extra is not None:
+        # extra-score contract (see _split_output): anomaly-shaped rows
+        for k, v in extra.items():
+            out[f"mean_{k}"] = jnp.mean(v)
+            out[f"auroc_{k}"] = auroc(v, fails)
     return out
 
 
@@ -169,7 +187,8 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
     for i, (name, sev) in enumerate(cells):
         k = jax.random.fold_in(key, base + i)
         corrupted = corruption_fn(name)(k, images, sev)
-        logits, mi, agree = _reduce_members(apply_fn(params, corrupted), temperature)
+        raw, extra = _split_output(apply_fn(params, corrupted))
+        logits, mi, agree = _reduce_members(raw, temperature)
         probs = jax.nn.softmax(logits / temperature, axis=-1)
         conf = jnp.max(probs, axis=-1)
         preds = jnp.argmax(probs, axis=-1)
@@ -189,6 +208,10 @@ def _fused_grid(cells, apply_fn, params, images, labels, key, temperature, base,
             # per cell on the D2H
             per_sample["mi"] = mi
             per_sample["agree"] = agree
+        if extra is not None:
+            # extra-score contract (_split_output): one more [B] row each
+            for m, v in extra.items():
+                per_sample[f"x_{m}"] = v
         if want_probs:
             # full temperature-scaled prob rows for host-side conformal
             # scoring (fav_tpu/models/conformal.py): +C floats/sample D2H,
@@ -215,7 +238,8 @@ def _fused_grid_monitored(cells, apply_fn, mon_apply, params, mon_params,
     for i, (name, sev) in enumerate(cells):
         k = jax.random.fold_in(key, base + i)
         corrupted = corruption_fn(name)(k, images, sev)
-        logits, mi, agree = _reduce_members(apply_fn(params, corrupted), temperature)
+        raw, extra = _split_output(apply_fn(params, corrupted))
+        logits, mi, agree = _reduce_members(raw, temperature)
         probs = jax.nn.softmax(logits / temperature, axis=-1)
         conf = jnp.max(probs, axis=-1)
         preds = jnp.argmax(probs, axis=-1)
@@ -236,6 +260,9 @@ def _fused_grid_monitored(cells, apply_fn, mon_apply, params, mon_params,
         if mi is not None:
             per_sample["mi"] = mi
             per_sample["agree"] = agree
+        if extra is not None:
+            for m, v in extra.items():
+                per_sample[f"x_{m}"] = v
         for m, v in per_sample.items():
             stacked.setdefault(m, []).append(v)
     return {m: jnp.stack(vs) for m, vs in stacked.items()}
@@ -369,6 +396,13 @@ def _finalize_cell(ps: dict) -> dict[str, float]:
         out["mean_confidence_vote"] = float(np.mean(gated))
         out["auroc_vote"] = _np_auroc((1.0 - gated).astype(np.float64), fails)
         out["ece_vote"] = _np_ece(gated, ps["correct"])
+    for k in ps:
+        if k.startswith("x_"):
+            # extra-score contract rows (see _split_output): anomaly-shaped
+            name = k[2:]
+            v = np.asarray(ps[k], np.float32).astype(np.float64)
+            out[f"mean_{name}"] = float(np.mean(v))
+            out[f"auroc_{name}"] = _np_auroc(v, fails)
     if "mon_conf" in ps:
         out["auroc_self"] = _np_auroc(unc, fails)
         out["ece_self"] = _np_ece(conf, ps["correct"])
