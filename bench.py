@@ -45,15 +45,19 @@ BATCH = 6144  # 8192 with all 15 cells exceeds 15.75G HBM by ~400M
 WARMUP = 2
 ITERS = 8
 
-# The deployed detection model is the ensemble-distilled compact student
-# (checkpoints/student_compact): it *beats* the previous full-width flagship
-# on quality (15x5 grid: corrupted acc 0.710 vs 0.651, failure AUROC 0.800
-# vs 0.747 — BENCH.md "Quality") at ~1/4 the forward FLOPs, so the honest
-# pipeline benchmark runs it. Falls back to the config default if the
-# checkpoint is missing.
-STUDENT_CKPT = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "fav_tpu", "checkpoints", "student_compact"
-)
+# The deployed detection model is the ensemble-distilled NANO student
+# (checkpoints/student_nano, widths 16/32/64 — ~1/16 the full-width forward
+# FLOPs): it measured a statistical quality TIE with the compact student on
+# the full 15x5 grid (0.730/0.806/ECE 0.077 vs 0.7317/0.810/0.076,
+# measurements/r3/eval_student_nano.json), stays failure-aware on the snow
+# floor (sev5 confidence 0.22), and the same-session interleaved megastep
+# A/B (tools/ab_student_nano.py) measured it 1.66x faster (88.2 vs 146.3
+# ms/megastep), so the honest pipeline benchmark runs the model that would
+# actually be deployed. Falls back compact -> config default when missing.
+_CKPT_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fav_tpu", "checkpoints")
+STUDENT_CKPT = os.path.join(_CKPT_ROOT, "student_nano")
+if not os.path.isdir(STUDENT_CKPT):
+    STUDENT_CKPT = os.path.join(_CKPT_ROOT, "student_compact")
 
 
 def main() -> None:
@@ -111,11 +115,12 @@ def main() -> None:
             confs.append(jnp.mean(conf))
             anoms.append(jnp.mean(anomaly_from_confidence(conf)))
             fails.append(jnp.mean((conf < 0.5).astype(jnp.float32)))
-        return {
-            "mean_confidence": jnp.stack(confs).mean(),
-            "mean_anomaly": jnp.stack(anoms).mean(),
-            "failure_frac": jnp.stack(fails).mean(),
-        }
+        # ONE packed output: every extra device-buffer handle returned per
+        # call costs tunnel chatter (~10 ms each, measured — the dict-of-3-
+        # scalars return ran ~120 ms/megastep vs 88 ms packed, same program)
+        return jnp.stack(
+            [jnp.stack(confs).mean(), jnp.stack(anoms).mean(), jnp.stack(fails).mean()]
+        )
 
     # warmup / compile. NOTE: on the tunneled TPU backend block_until_ready
     # returns early — a device->host scalar fetch (float()) is the only
@@ -124,7 +129,7 @@ def main() -> None:
     for _ in range(WARMUP):
         k, sub = jax.random.split(k)
         out = megastep(variables, images, sub)
-    float(out["mean_confidence"])
+    float(out[0])
 
     # timed: accumulate a scalar on device, fetch once to close the chain
     t0 = time.perf_counter()
@@ -133,9 +138,9 @@ def main() -> None:
     for _ in range(ITERS):
         k, sub = jax.random.split(k)
         out = megastep(variables, images, sub)
-        acc = out["mean_confidence"] if acc is None else acc + out["mean_confidence"]
+        acc = out if acc is None else acc + out
         total_images += BATCH * len(fns)
-    float(acc)  # D2H sync: everything above must have executed
+    float(acc[0])  # D2H sync: everything above must have executed
     elapsed = time.perf_counter() - t0
 
     img_per_sec = total_images / elapsed

@@ -97,6 +97,13 @@
         miEl.textContent = msg.ml_inference.mutual_information !== undefined
           ? fmt(msg.ml_inference.mutual_information, 3) : "—";
       }
+      // feature-space OOD distance (normalized relative Mahalanobis):
+      // present when the served checkpoint ships a maha_fit.npz
+      var fdEl = $("ml-fdist");
+      if (fdEl) {
+        fdEl.textContent = msg.ml_inference.feature_distance !== undefined
+          ? fmt(msg.ml_inference.feature_distance, 3) : "—";
+      }
     }
     renderEvents(msg.failure_events);
   }

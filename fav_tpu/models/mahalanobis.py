@@ -43,8 +43,13 @@ __all__ = [
     "collect_features",
     "features_and_logits",
     "fit_feature_gaussians",
+    "load_fit",
     "mahalanobis_scores",
+    "normalized_rmd",
+    "save_fit",
 ]
+
+FIT_FILENAME = "maha_fit.npz"  # lives next to a checkpoint's metadata.json
 
 
 @dataclass(frozen=True)
@@ -59,6 +64,12 @@ class MahalanobisFit:
     prec: jnp.ndarray  # [D, D] f32 — tied (shared) class precision
     bg_mean: jnp.ndarray  # [D] f32
     bg_prec: jnp.ndarray  # [D, D] f32
+    # train-set RMD quantiles (q50, q99) for wire normalization: serving
+    # reports (rmd - q50) / (q99 - q50) clipped at 0, so ~0 means "typical
+    # training frame" and 1.0 means "at the 99th percentile of training
+    # data" — a scale-free per-frame OOD reading. 0/1 defaults = raw rmd.
+    rmd_q50: float = 0.0
+    rmd_q99: float = 1.0
 
 
 def features_and_logits(model, variables, x, **apply_kwargs):
@@ -135,6 +146,39 @@ def fit_feature_gaussians(
         bg_mean=jnp.asarray(bg_mean, jnp.float32),
         bg_prec=jnp.asarray(bg_prec, jnp.float32),
     )
+
+
+def save_fit(path: str, fit: MahalanobisFit) -> None:
+    """Persist a fit next to its checkpoint (``maha_fit.npz``)."""
+    np.savez(
+        path,
+        class_means=np.asarray(fit.class_means),
+        prec=np.asarray(fit.prec),
+        bg_mean=np.asarray(fit.bg_mean),
+        bg_prec=np.asarray(fit.bg_prec),
+        rmd_q50=np.float64(fit.rmd_q50),
+        rmd_q99=np.float64(fit.rmd_q99),
+    )
+
+
+def load_fit(path: str) -> MahalanobisFit:
+    with np.load(path) as z:
+        return MahalanobisFit(
+            class_means=jnp.asarray(z["class_means"], jnp.float32),
+            prec=jnp.asarray(z["prec"], jnp.float32),
+            bg_mean=jnp.asarray(z["bg_mean"], jnp.float32),
+            bg_prec=jnp.asarray(z["bg_prec"], jnp.float32),
+            rmd_q50=float(z["rmd_q50"]),
+            rmd_q99=float(z["rmd_q99"]),
+        )
+
+
+def normalized_rmd(rmd: jax.Array, fit: MahalanobisFit) -> jax.Array:
+    """Wire-scale feature distance: 0 ~ typical training frame, 1 ~ the
+    99th percentile of training data, >1 = beyond the training manifold.
+    Clipped below at 0 (closer-than-median is not a signal)."""
+    span = max(fit.rmd_q99 - fit.rmd_q50, 1e-6)
+    return jnp.maximum((rmd - fit.rmd_q50) / span, 0.0)
 
 
 def mahalanobis_scores(features: jax.Array, fit: MahalanobisFit) -> dict:

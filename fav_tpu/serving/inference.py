@@ -88,6 +88,9 @@ class InferenceService:
         self._meta: dict = {}
         self.restore_error: str | None = None
         self._call_count = 0  # decorrelates MC-dropout masks across calls
+        # feature-space OOD wire field — resolved at model build time from
+        # the checkpoint's maha_fit.npz (tools/fit_maha.py)
+        self.has_feature_distance = False
 
     # ── lazy device setup (first use; jax import stays off server boot) ──
     def _ensure_model(self) -> None:
@@ -210,6 +213,29 @@ class InferenceService:
         # growing sets = the frame is sliding out of the certified regime)
         qhat = self._meta.get("conformal_qhat")
 
+        # feature-space OOD reading: when the checkpoint carries a
+        # maha_fit.npz (tools/fit_maha.py), the msp path also streams a
+        # normalized relative-Mahalanobis ``feature_distance`` per frame
+        # (0 ~ typical training frame, 1 ~ its 99th percentile) — the
+        # label-free "how far off the training manifold" signal the
+        # logit-space scores cannot see (fav_tpu/models/mahalanobis.py).
+        # Fit matrices are closure-baked program constants (CLAUDE.md).
+        maha_fit = None
+        if mode == "msp" and self.source.startswith("checkpoint:"):
+            from fav_tpu.models.mahalanobis import FIT_FILENAME, load_fit
+
+            fit_path = os.path.join(ckpt_dir, FIT_FILENAME)
+            if os.path.isfile(fit_path):
+                maha_fit = load_fit(fit_path)
+        self.has_feature_distance = maha_fit is not None
+        # packed-row layout (one D2H per batch): 6 fixed columns, then the
+        # monitored self-confidence, then the feature distance — indices
+        # resolved at build time so _row_to_dict never guesses from width
+        self._col_self_conf = 6 if self._monitor_dir else None
+        self._col_rmd = (
+            (7 if self._monitor_dir else 6) if maha_fit is not None else None
+        )
+
         mon_conf_fn = None
         if self._monitor_dir:
             # the monitor must restore or the service fails loudly (see
@@ -246,14 +272,16 @@ class InferenceService:
                 probs = jax.nn.softmax(mon_model.apply(mon_params, images) / mon_t, -1)
                 return jnp.max(probs, axis=-1)
 
-        def summarize(member_probs, mon_conf=None):
-            """Pack every score into ONE [B, 6] float32 array ([B, 7] when a
-            monitor gates) — a single device-to-host fetch per batch.
-            Per-field fetches cost a blocking round trip each over the
-            tunneled TPU backend (~165 ms p50 at 8 live streams, measured);
-            packing removed that entirely. With a monitor: column 1 becomes
-            the min-gated operative confidence (and drives the anomaly),
-            column 6 keeps the predictor's own confidence."""
+        def summarize(member_probs, mon_conf=None, rmd=None):
+            """Pack every score into ONE [B, 6] float32 array (+1 column
+            when a monitor gates, +1 when a Mahalanobis fit ships) — a
+            single device-to-host fetch per batch. Per-field fetches cost a
+            blocking round trip each over the tunneled TPU backend (~165 ms
+            p50 at 8 live streams, measured); packing removed that entirely.
+            With a monitor: column 1 becomes the min-gated operative
+            confidence (and drives the anomaly), the self-confidence column
+            keeps the predictor's own. Column indices live in
+            self._col_self_conf / self._col_rmd (build-time layout)."""
             mean_probs = jnp.mean(member_probs, axis=0)
             self_conf = jnp.max(mean_probs, axis=-1)
             conf = self_conf if mon_conf is None else jnp.minimum(self_conf, mon_conf)
@@ -274,15 +302,30 @@ class InferenceService:
             ]
             if mon_conf is not None:
                 cols.append(self_conf.astype(f32))
+            if rmd is not None:
+                cols.append(rmd.astype(f32))
             return jnp.stack(cols, axis=-1)
 
         @jax.jit
         def forward(params, images, key):
             mon_conf = mon_conf_fn(images) if mon_conf_fn is not None else None
             if mode == "msp":
-                logits = model.apply(params, images)
+                if maha_fit is not None:
+                    from fav_tpu.models.mahalanobis import (
+                        features_and_logits,
+                        mahalanobis_scores,
+                        normalized_rmd,
+                    )
+
+                    feats, logits = features_and_logits(model, params, images)
+                    rmd = normalized_rmd(
+                        mahalanobis_scores(feats, maha_fit)["rmd"], maha_fit
+                    )
+                else:
+                    logits = model.apply(params, images)
+                    rmd = None
                 return summarize(
-                    jax.nn.softmax(logits / temperature, -1)[None], mon_conf
+                    jax.nn.softmax(logits / temperature, -1)[None], mon_conf, rmd
                 )
             if mode == "mc_dropout":
                 # per-call key: replicas must not reuse identical dropout
@@ -306,12 +349,14 @@ class InferenceService:
     def _resolve_ckpt_dir(self) -> str:
         """Default checkpoint dir per uncertainty mode.
 
-        ``msp`` serves the ensemble-distilled compact student — the
-        deployment shape bench.py measures: better grid accuracy AND failure
-        AUROC than the full-width classifier at ~1/4 the forward FLOPs
-        (BENCH.md Quality) — falling back to the classifier checkpoint when
-        no student is shipped. ``mc_dropout`` needs a dropout-trained model,
-        so it stays on the classifier."""
+        ``msp`` serves the ensemble-distilled NANO student — the deployment
+        shape bench.py measures: a statistical quality tie with the compact
+        student on the full grid (0.730/0.806/ECE 0.077, snow sev5 honest at
+        conf 0.22) at ~1/16 the full-width forward FLOPs and 1.66x the
+        megastep throughput (tools/ab_student_nano.py, BENCH.md Quality) —
+        falling back compact -> classifier when no student is shipped.
+        ``mc_dropout`` needs a dropout-trained model, so it stays on the
+        classifier."""
         if self._checkpoint_dir is not None:
             return self._checkpoint_dir
         from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
@@ -319,11 +364,14 @@ class InferenceService:
         name = {
             "ensemble": "ensemble",
             "autoencoder": "autoencoder",
-            "msp": "student_compact",
+            "msp": "student_nano",
         }.get(self.uncertainty, "classifier")
         ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, name)
-        if name == "student_compact" and not os.path.isdir(ckpt_dir):
-            ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, "classifier")
+        if name == "student_nano":
+            for fallback in ("student_nano", "student_compact", "classifier"):
+                ckpt_dir = os.path.join(DEFAULT_CKPT_DIR, fallback)
+                if os.path.isdir(ckpt_dir):
+                    break
         return ckpt_dir
 
     def _peek_metadata(self) -> dict:
@@ -352,6 +400,10 @@ class InferenceService:
             info["conformal_qhat"] = self._meta.get("conformal_qhat")
         if self._monitor_dir:
             info["monitor"] = self.monitor_source or f"pending:{self._monitor_dir}"
+        if self.has_feature_distance:
+            # dashboard badge: this deployment streams the feature-space
+            # OOD reading (normalized relative Mahalanobis) per frame
+            info["feature_distance"] = True
         if self.restore_error:
             info["error"] = f"checkpoint restore failed: {self.restore_error}"
         return info
@@ -499,8 +551,14 @@ class InferenceService:
             res["mutual_information"] = round(float(row[4]), 4)
         if row[5] >= 0:
             res["conformal_set_size"] = int(row[5])
-        if row.shape[0] > 6:
+        col_self = getattr(self, "_col_self_conf", None)
+        if col_self is not None:
             # monitored serving: row[1] was the min-gated confidence; the
-            # predictor's own confidence rides the extra column
-            res["confidence_self"] = round(float(row[6]), 4)
+            # predictor's own confidence rides its own column
+            res["confidence_self"] = round(float(row[col_self]), 4)
+        col_rmd = getattr(self, "_col_rmd", None)
+        if col_rmd is not None:
+            # normalized relative Mahalanobis (models/mahalanobis.py):
+            # 0 ~ typical training frame, 1 ~ its 99th percentile
+            res["feature_distance"] = round(float(row[col_rmd]), 4)
         return res

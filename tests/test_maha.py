@@ -9,6 +9,8 @@ departure from the training manifold directly, label-free."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,3 +188,113 @@ def test_evaluate_maha_rejects_multi_forward():
         eval_main(["--maha", "--ensemble", "3"])
     with pytest.raises(SystemExit):
         eval_main(["--maha", "--monitor", "somewhere"])
+
+
+def test_fit_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(200, 6))
+    labels = rng.integers(0, 3, size=200)
+    from fav_tpu.models.mahalanobis import load_fit, save_fit
+
+    fit = fit_feature_gaussians(feats, labels, 3)
+    import dataclasses
+
+    fit = dataclasses.replace(fit, rmd_q50=1.5, rmd_q99=9.0)
+    path = str(tmp_path / "maha_fit.npz")
+    save_fit(path, fit)
+    back = load_fit(path)
+    np.testing.assert_allclose(np.asarray(back.prec), np.asarray(fit.prec), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.class_means), np.asarray(fit.class_means), rtol=1e-6)
+    assert back.rmd_q50 == 1.5 and back.rmd_q99 == 9.0
+    q = jnp.asarray(rng.normal(size=(8, 6)), jnp.float32)
+    a = mahalanobis_scores(q, fit)
+    b = mahalanobis_scores(q, back)
+    np.testing.assert_allclose(np.asarray(a["rmd"]), np.asarray(b["rmd"]), rtol=1e-6)
+
+
+def test_normalized_rmd_scale():
+    import dataclasses
+
+    from fav_tpu.models.mahalanobis import normalized_rmd
+
+    rng = np.random.default_rng(4)
+    feats = rng.normal(size=(100, 4))
+    fit = fit_feature_gaussians(feats, rng.integers(0, 2, 100), 2)
+    fit = dataclasses.replace(fit, rmd_q50=2.0, rmd_q99=12.0)
+    got = np.asarray(normalized_rmd(jnp.asarray([2.0, 12.0, -50.0, 22.0]), fit))
+    np.testing.assert_allclose(got, [0.0, 1.0, 0.0, 2.0], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_serving_streams_feature_distance(tmp_path):
+    """With a maha_fit.npz next to the checkpoint, the msp InferenceService
+    streams a per-frame feature_distance; without one, the field is absent
+    and the packed-row layout is unchanged."""
+    import asyncio
+    import dataclasses
+
+    from fav_tpu.models.mahalanobis import (
+        FIT_FILENAME,
+        mahalanobis_scores as _scores,
+        save_fit,
+    )
+    from fav_tpu.serving.inference import InferenceService
+    from fav_tpu.utils.checkpoint import save_checkpoint
+
+    model = create_model(SMALL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ckpt = str(tmp_path / "maha_ckpt")
+    save_checkpoint(ckpt, params, metadata={
+        "temperature": 1.0, "widths": list(SMALL.widths),
+        "dense_width": SMALL.dense_width,
+    })
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (64, 32, 32, 3)), jnp.float32)
+    feats = collect_features(model, params, images)
+    fit = fit_feature_gaussians(feats, rng.integers(0, 10, 64), 10)
+    rmd = np.asarray(_scores(jnp.asarray(feats), fit)["rmd"], np.float64)
+    fit = dataclasses.replace(fit, rmd_q50=float(np.quantile(rmd, 0.5)),
+                              rmd_q99=float(np.quantile(rmd, 0.99)))
+    save_fit(os.path.join(ckpt, FIT_FILENAME), fit)
+
+    async def run(service):
+        frame = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    svc = InferenceService(SMALL, checkpoint_dir=ckpt)
+    res = asyncio.run(run(svc))
+    assert svc.has_feature_distance  # resolved at (lazy) model build
+    assert svc.info().get("feature_distance") is True
+    assert "feature_distance" in res and res["feature_distance"] >= 0.0
+    assert "confidence" in res and "conformal_set_size" not in res
+
+    os.remove(os.path.join(ckpt, FIT_FILENAME))
+    svc2 = InferenceService(SMALL, checkpoint_dir=ckpt)
+    res2 = asyncio.run(run(svc2))
+    assert not svc2.has_feature_distance
+    assert "feature_distance" not in res2
+
+
+@pytest.mark.slow
+def test_fit_maha_cli(tmp_path):
+    """tools/fit_maha.py writes a loadable fit with sane quantiles."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import fit_maha
+
+    from fav_tpu.models.mahalanobis import FIT_FILENAME, load_fit
+    from fav_tpu.utils.checkpoint import save_checkpoint
+
+    model = create_model(SMALL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, params, metadata={
+        "widths": list(SMALL.widths), "dense_width": SMALL.dense_width,
+    })
+    fit_maha.main(["--checkpoint", ckpt, "--fit-images", "256"])
+    fit = load_fit(os.path.join(ckpt, FIT_FILENAME))
+    assert fit.rmd_q99 > fit.rmd_q50
+    assert fit.class_means.shape == (10, SMALL.dense_width)

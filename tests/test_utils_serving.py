@@ -605,16 +605,17 @@ def test_serving_committed_compact_student():
 
 
 @pytest.mark.slow
-def test_msp_serves_compact_student_by_default():
-    """The default msp deployment serves the AugMix-KD compact student
-    checkpoint (BENCH.md Quality: better grid acc AND AUROC than the
-    full-width classifier at ~1/4 the FLOPs); mc_dropout stays on the
-    dropout-trained classifier."""
+def test_msp_serves_nano_student_by_default():
+    """The default msp deployment serves the AugMix-KD NANO student
+    checkpoint (BENCH.md Quality: statistical grid tie with the compact
+    student at ~1/16 the full-width FLOPs, 1.66x megastep throughput —
+    tools/ab_student_nano.py); mc_dropout stays on the dropout-trained
+    classifier."""
     from fav_tpu.config import ModelParams
     from fav_tpu.serving.inference import InferenceService
 
     svc = InferenceService(ModelParams())
-    assert svc._resolve_ckpt_dir().endswith("student_compact")
+    assert svc._resolve_ckpt_dir().endswith("student_nano")
 
     async def run():
         frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
@@ -623,7 +624,7 @@ def test_msp_serves_compact_student_by_default():
         return res
 
     asyncio.run(run())
-    assert svc.info()["source"].endswith("student_compact")
+    assert svc.info()["source"].endswith("student_nano")
 
     mc = InferenceService(ModelParams(), uncertainty="mc_dropout")
     assert mc._resolve_ckpt_dir().endswith("classifier")

@@ -32,7 +32,7 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=6, help="megasteps per timing")
     ap.add_argument("--rounds", type=int, default=3, help="interleaved rounds")
     ap.add_argument("--ckpt-a", default="fav_tpu/checkpoints/student_compact")
-    ap.add_argument("--ckpt-b", default="measurements/r3/student_nano")
+    ap.add_argument("--ckpt-b", default="fav_tpu/checkpoints/student_nano")
     args = ap.parse_args(argv)
 
     import jax
