@@ -80,6 +80,13 @@
     }
     if (msg.ml_inference) {
       $("ml-panel").style.display = "block";
+      // degraded-predictor badge: the server stamps model_degraded on every
+      // tick while serving untrained weights (restore failure / missing
+      // checkpoint) — the ML numbers render, but flagged as not-real-ML
+      var degEl = $("ml-degraded");
+      if (degEl) {
+        degEl.style.display = msg.model_degraded ? "block" : "none";
+      }
       $("ml-pred").textContent = msg.ml_inference.prediction;
       $("ml-conf").textContent = fmt(msg.ml_inference.confidence, 3);
       $("ml-anom").textContent = fmt(msg.ml_inference.model_anomaly, 3);

@@ -120,6 +120,13 @@ def fit_feature_gaussians(
     """
     f = np.asarray(features, np.float64)
     y = np.asarray(labels).astype(np.int64).ravel()
+    if y.min(initial=0) < 0 or y.max(initial=0) >= num_classes:
+        # rows with out-of-range labels would otherwise keep whatever bytes
+        # the buffer held and silently pollute the pooled covariance
+        raise ValueError(
+            f"labels outside [0, {num_classes}): "
+            f"min={y.min()}, max={y.max()}"
+        )
     n, d = f.shape
     means = np.zeros((num_classes, d))
     centered = np.empty_like(f)

@@ -227,6 +227,29 @@ class InferenceService:
             fit_path = os.path.join(ckpt_dir, FIT_FILENAME)
             if os.path.isfile(fit_path):
                 maha_fit = load_fit(fit_path)
+                # a stale fit (checkpoint retrained at a different width, old
+                # npz left behind) would make the jitted forward fail at the
+                # first frame — taking down all msp serving for an auxiliary
+                # signal. Shape-check against the model's penultimate width
+                # (eval_shape: abstract, no compile/device work) and degrade
+                # to serving WITHOUT feature_distance instead.
+                from fav_tpu.models.mahalanobis import features_and_logits
+
+                feat_dim = jax.eval_shape(
+                    lambda v, x: features_and_logits(model, v, x)[0],
+                    params, sample,
+                ).shape[-1]
+                fit_dim = maha_fit.class_means.shape[1]
+                if fit_dim != feat_dim:
+                    import sys
+
+                    print(
+                        f"[fav_tpu] WARNING: {fit_path} feature dim {fit_dim} "
+                        f"!= model penultimate width {feat_dim}; ignoring the "
+                        f"stale fit (refit with tools/fit_maha.py)",
+                        file=sys.stderr,
+                    )
+                    maha_fit = None
         self.has_feature_distance = maha_fit is not None
         # packed-row layout (one D2H per batch): 6 fixed columns, then the
         # monitored self-confidence, then the feature distance — indices
@@ -389,12 +412,26 @@ class InferenceService:
                 pass
         return {}
 
+    @property
+    def degraded(self) -> bool:
+        """True when the built model is serving anything OTHER than the
+        trained checkpoint it was supposed to: the restore failed, or no
+        checkpoint existed to restore. The server stamps ``model_degraded``
+        into every WS state and keeps the model anomaly OUT of the trust
+        engine while this holds — confident scores from random weights must
+        never be presentable as real ML (the reference's fake-vs-real
+        explicitness, reference anomaly_simulator.py:7-9). False while the
+        model is still unbuilt (nothing is being served yet)."""
+        return self._forward is not None and not self.source.startswith("checkpoint:")
+
     def info(self) -> dict:
         info = {
             "source": self.source,
             "temperature": self._temperature,
             "uncertainty": self.uncertainty,
         }
+        if self.degraded:
+            info["degraded"] = True
         if self._meta.get("conformal_qhat") is not None:
             info["conformal_alpha"] = self._meta.get("conformal_alpha")
             info["conformal_qhat"] = self._meta.get("conformal_qhat")

@@ -128,3 +128,38 @@ def test_env_var_discovery(cifar_fixture_dir, monkeypatch):
     ds = load_cifar10(allow_synthetic=False)
     assert ds.source == "cifar10"
     assert ds.train_images.shape == (100, 32, 32, 3)
+
+
+@pytest.mark.slow
+def test_synthetic_draws_independent(monkeypatch):
+    """FAV_SYNTH_DRAW selects an independent synthetic draw (seed AND
+    generator recipe change together); draw 0 is bitwise the original
+    dataset (golden trajectories depend on it)."""
+    import hashlib
+
+    from fav_tpu.data.cifar import DRAWS, load_cifar10, synthetic_cifar10
+
+    def hsh(ds):
+        h = hashlib.sha256()
+        for a in (ds.train_images, ds.train_labels, ds.test_images, ds.test_labels):
+            h.update(np.ascontiguousarray(a).tobytes())
+        return h.hexdigest()
+
+    # draw 0 byte identity with the recipe-less call (the original dataset)
+    monkeypatch.delenv("FAV_CIFAR_DIR", raising=False)
+    monkeypatch.setenv("FAV_SYNTH_DRAW", "0")
+    assert hsh(load_cifar10()) == hsh(synthetic_cifar10())
+
+    seen = set()
+    for d in sorted(DRAWS):
+        monkeypatch.setenv("FAV_SYNTH_DRAW", str(d))
+        ds = load_cifar10()
+        assert ds.source == ("synthetic" if d == 0 else f"synthetic_draw{d}")
+        assert ds.train_images.shape == (20000, 32, 32, 3)
+        assert ds.train_images.min() >= 0.0 and ds.train_images.max() <= 1.0
+        seen.add(hsh(ds))
+    assert len(seen) == len(DRAWS)  # every draw is a distinct dataset
+
+    monkeypatch.setenv("FAV_SYNTH_DRAW", "99")
+    with pytest.raises(ValueError, match="99"):
+        load_cifar10()

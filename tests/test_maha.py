@@ -298,3 +298,55 @@ def test_fit_maha_cli(tmp_path):
     fit = load_fit(os.path.join(ckpt, FIT_FILENAME))
     assert fit.rmd_q99 > fit.rmd_q50
     assert fit.class_means.shape == (10, SMALL.dense_width)
+
+
+def test_fit_rejects_out_of_range_labels():
+    """Labels outside [0, C) must fail loudly — uninitialized centered rows
+    silently polluting the pooled covariance is the alternative (ADVICE r3)."""
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(32, 4))
+    bad = rng.integers(0, 2, 32)
+    bad[5] = 7  # out of range for num_classes=2
+    with pytest.raises(ValueError, match="outside"):
+        fit_feature_gaussians(feats, bad, 2)
+
+
+@pytest.mark.slow
+def test_serving_ignores_stale_maha_fit(tmp_path, capsys):
+    """A maha_fit.npz whose feature dim mismatches the checkpoint's model
+    (stale fit after a width change) must NOT take down msp serving: the
+    service warns and serves without feature_distance (ADVICE r3)."""
+    import asyncio
+    import dataclasses
+
+    from fav_tpu.models.mahalanobis import FIT_FILENAME, save_fit
+    from fav_tpu.serving.inference import InferenceService
+    from fav_tpu.utils.checkpoint import save_checkpoint
+
+    model = create_model(SMALL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ckpt = str(tmp_path / "stale_ckpt")
+    save_checkpoint(ckpt, params, metadata={
+        "temperature": 1.0, "widths": list(SMALL.widths),
+        "dense_width": SMALL.dense_width,
+    })
+    # fit at the WRONG width (8 != SMALL.dense_width)
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(64, 8))
+    fit = fit_feature_gaussians(feats, rng.integers(0, 10, 64), 10)
+    fit = dataclasses.replace(fit, rmd_q50=1.0, rmd_q99=2.0)
+    save_fit(os.path.join(ckpt, FIT_FILENAME), fit)
+
+    svc = InferenceService(SMALL, checkpoint_dir=ckpt)
+
+    async def run():
+        frame = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await svc.score_frame(frame)
+        await svc.close()
+        return res
+
+    res = asyncio.run(run())
+    assert svc.degraded is False  # weights restored fine
+    assert not svc.has_feature_distance
+    assert "feature_distance" not in res
+    assert "confidence" in res  # serving itself is unaffected

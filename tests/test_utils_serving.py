@@ -725,3 +725,78 @@ def test_inference_service_monitor_must_restore(tmp_path):
     with pytest.raises(ValueError):
         InferenceService(SMALL, uncertainty="autoencoder",
                          monitor_dir=str(tmp_path / "mon"))
+
+
+def test_degraded_property_lifecycle(tmp_path):
+    """`degraded` is False before build, True once the service is serving
+    anything other than its trained checkpoint, and the badge rides info()
+    (VERDICT r3 missing #3: predictor degradation must be loud)."""
+    from fav_tpu.serving.inference import InferenceService
+
+    # no checkpoint -> random init -> degraded after build
+    service = InferenceService(SMALL, checkpoint_dir=str(tmp_path / "none"))
+    assert service.degraded is False  # unbuilt: nothing served yet
+    assert "degraded" not in service.info()
+
+    async def run(svc):
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await svc.score_frame(frame)
+        await svc.close()
+        return res
+
+    asyncio.run(run(service))
+    assert service.degraded is True
+    assert service.info()["degraded"] is True
+
+    # a restorable checkpoint -> not degraded
+    import jax
+    import jax.numpy as jnp
+
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.utils.checkpoint import save_checkpoint
+
+    model = create_model(SMALL)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    good = str(tmp_path / "good")
+    save_checkpoint(good, params, metadata={
+        "temperature": 1.0, "widths": list(SMALL.widths),
+        "dense_width": SMALL.dense_width,
+    })
+    ok = InferenceService(SMALL, checkpoint_dir=good)
+    asyncio.run(run(ok))
+    assert ok.degraded is False
+    assert "degraded" not in ok.info()
+
+
+def test_degraded_on_restore_failure(tmp_path):
+    """A checkpoint that EXISTS but cannot restore (wrong tree vs the
+    metadata architecture) serves random weights loudly: restore_error,
+    degraded=True, and info()['error'] all set."""
+    import jax.numpy as jnp
+
+    from fav_tpu.serving.inference import InferenceService
+    from fav_tpu.utils.checkpoint import save_checkpoint
+
+    broken = str(tmp_path / "broken")
+    # params tree is a single stray leaf; metadata claims the SMALL CNN, so
+    # the restore template cannot match what was saved
+    save_checkpoint(broken, {"stray": jnp.zeros((3,))}, metadata={
+        "temperature": 1.0, "widths": list(SMALL.widths),
+        "dense_width": SMALL.dense_width,
+    })
+    service = InferenceService(SMALL, checkpoint_dir=broken)
+
+    async def run():
+        frame = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        res = await service.score_frame(frame)
+        await service.close()
+        return res
+
+    res = asyncio.run(run())
+    assert "confidence" in res  # still serves (heartbeat survives)
+    assert service.restore_error is not None
+    assert service.degraded is True
+    info = service.info()
+    assert info["degraded"] is True
+    assert "error" in info
+    assert service.source == "random_init"

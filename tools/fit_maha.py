@@ -67,8 +67,16 @@ def main(argv=None) -> None:
     ds = load_cifar10()
     n = min(args.fit_images, ds.train_images.shape[0])
     feats = collect_features(model, variables, jnp.asarray(ds.train_images[:n]))
-    fit = fit_feature_gaussians(feats, ds.train_labels[:n], mp.num_classes)
-    rmd = np.asarray(mahalanobis_scores(jnp.asarray(feats), fit)["rmd"], np.float64)
+    # the Gaussians fit on the first 90%; the wire-scale quantiles ("1.0 =
+    # 99th percentile of training data") come from the held-out last 10% —
+    # in-sample quantiles are optimistic for exactly the tail the scale
+    # anchors (ADVICE r3)
+    n_fit = max(1, int(n * 0.9)) if n >= 10 else n
+    fit = fit_feature_gaussians(feats[:n_fit], ds.train_labels[:n_fit], mp.num_classes)
+    rmd = np.asarray(
+        mahalanobis_scores(jnp.asarray(feats[n_fit:] if n_fit < n else feats), fit)["rmd"],
+        np.float64,
+    )
     fit = dataclasses.replace(
         fit,
         rmd_q50=float(np.quantile(rmd, 0.50)),
