@@ -610,3 +610,124 @@ def test_tick_live_degraded_wire_field(tmp_path):
     # analyzer-only anomaly: the injected 1.0 was excluded
     assert state["anomaly_score"] == round(conn.last_analysis["anomaly_score"], 6)
     assert state["anomaly_score"] < 1.0
+
+
+def test_tick_live_decoupled_from_slow_analysis(tmp_path):
+    """The wire tick must NOT await the analysis path (VERDICT r3 #2): with
+    an analyzer that takes 150 ms per frame, ticks still return in
+    milliseconds, streaming the latest COMPLETED analysis tagged with its
+    frame_id and a growing staleness_ms."""
+    import time as _time
+
+    import numpy as np
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.serving.app import ConnectionState, _tick_live
+
+    cfg = FrameworkConfig(model=ModelParams(widths=(8, 16), dense_width=16))
+    conn = ConnectionState(cfg)
+    conn.inference = None  # isolate the analysis path
+    conn.analysis = None  # force the per-connection analyzer fallback
+    conn.source_mode = "video"
+
+    class StubVideo:
+        frame_id = 0
+
+        def get_frame(self):
+            self.frame_id += 1
+            rng = np.random.default_rng(self.frame_id)
+            return rng.integers(0, 256, (48, 64, 3)).astype(np.uint8), self.frame_id
+
+        def stop(self):
+            pass
+
+    conn.video = StubVideo()
+
+    real_analyze = conn.analyzer.analyze_frame
+
+    def slow_analyze(frame):
+        _time.sleep(0.15)
+        return real_analyze(frame)
+
+    conn.analyzer.analyze_frame = slow_analyze
+
+    async def run():
+        # first tick: starts the pipeline, returns a heartbeat immediately
+        t0 = _time.monotonic()
+        state = await _tick_live(conn, 1 / 30)
+        first_ms = (_time.monotonic() - t0) * 1e3
+        assert state.get("waiting_for_frame") or state.get("analysis_warming") \
+            or "staleness_ms" in state
+        assert first_ms < 100, f"tick blocked {first_ms:.0f} ms"
+
+        # wait until the pipeline lands its first analysis
+        for _ in range(100):
+            if conn.last_analysis:
+                break
+            await asyncio.sleep(0.02)
+        assert conn.last_analysis, "pipeline never produced an analysis"
+
+        # 10 consecutive ticks while the analyzer is mid-frame: the wire
+        # must hold rate (each tick far faster than the 150 ms analysis)
+        t0 = _time.monotonic()
+        states = [await _tick_live(conn, 1 / 30) for _ in range(10)]
+        wall_ms = (_time.monotonic() - t0) * 1e3
+        assert wall_ms < 500, f"10 ticks took {wall_ms:.0f} ms - tick still blocks"
+        fid = conn.analysis_frame_id
+        for s in states:
+            assert s["frame_id"] == fid  # tagged with the ANALYZED frame
+            assert "staleness_ms" in s and s["staleness_ms"] >= 0.0
+        # staleness grows while no new analysis completes
+        stales = [s["staleness_ms"] for s in states]
+        assert stales[-1] > stales[0]
+        conn.stop_pipeline()
+
+    asyncio.run(run())
+
+
+def test_tick_live_staleness_resets_on_fresh_analysis():
+    """A completed analysis resets the staleness clock and advances the
+    wire frame_id (stale-tag contract)."""
+    import numpy as np
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.serving.app import ConnectionState, _tick_live
+
+    cfg = FrameworkConfig(model=ModelParams(widths=(8, 16), dense_width=16))
+    conn = ConnectionState(cfg)
+    conn.inference = None
+    conn.analysis = None
+    conn.source_mode = "video"
+
+    class StubVideo:
+        frame_id = 0
+
+        def get_frame(self):
+            self.frame_id += 1
+            rng = np.random.default_rng(self.frame_id)
+            return rng.integers(0, 256, (48, 64, 3)).astype(np.uint8), self.frame_id
+
+        def stop(self):
+            pass
+
+    conn.video = StubVideo()
+
+    async def run():
+        await _tick_live(conn, 1 / 30)
+        for _ in range(200):
+            if conn.last_analysis:
+                break
+            await asyncio.sleep(0.01)
+        s1 = await _tick_live(conn, 1 / 30)
+        fid1 = s1["frame_id"]
+        # let the pipeline analyze at least one more frame
+        for _ in range(200):
+            if conn.analysis_frame_id > fid1:
+                break
+            await asyncio.sleep(0.01)
+        s2 = await _tick_live(conn, 1 / 30)
+        assert s2["frame_id"] > fid1  # fresh analysis advanced the tag
+        assert s2["staleness_ms"] < 1000.0
+        conn.stop_pipeline()
+
+    asyncio.run(run())

@@ -75,6 +75,7 @@ async def drive_client(
         n_frames = 0
         last_fid = None
         dts = []
+        stales = []
         t0 = time.monotonic()
         while time.monotonic() - t0 < duration_s:
             msg = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
@@ -87,12 +88,20 @@ async def drive_client(
                 last_fid = fid
             if "dt" in msg:
                 dts.append(msg["dt"])
+            if "staleness_ms" in msg:
+                stales.append(msg["staleness_ms"])
         elapsed = time.monotonic() - t0
         results.append({
             "hz": n_msgs / elapsed,
             "analysis_frac": n_analysis / max(n_msgs, 1),
             "fresh_frames_hz": n_frames / elapsed,
             "dt_p95": sorted(dts)[int(len(dts) * 0.95)] if dts else None,
+            "staleness_p50": (
+                sorted(stales)[len(stales) // 2] if stales else None
+            ),
+            "staleness_p95": (
+                sorted(stales)[int(len(stales) * 0.95)] if stales else None
+            ),
         })
 
 
@@ -126,6 +135,13 @@ async def run_level(host: str, port: int, n_clients: int, warmup_s: float,
             statistics.mean(r["fresh_frames_hz"] for r in results), 2
         ) if results else None,
         "dt_p95_max": max((r["dt_p95"] for r in results if r["dt_p95"]), default=None),
+        "staleness_p50_mean": round(
+            statistics.mean(r["staleness_p50"] for r in results
+                            if r["staleness_p50"] is not None), 1
+        ) if any(r["staleness_p50"] is not None for r in results) else None,
+        "staleness_p95_max": max(
+            (r["staleness_p95"] for r in results if r["staleness_p95"] is not None),
+            default=None),
     }
     with urllib.request.urlopen(f"http://{host}:{port}/api/metrics", timeout=10) as r:
         summary["server_metrics"] = json.loads(r.read())
