@@ -242,12 +242,52 @@ def _coerce(raw: str, target_type: type) -> Any:
     return target_type(raw)
 
 
+def _ckpt(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints", name)
+
+
+#: One-flag deployment presets (``FAV_PRESET=<name>``), applied BEFORE the
+#: per-field env overrides so any ``FAV_SERVER_*`` variable still wins.
+#:
+#: ``gated`` — the min-gated predictor/monitor pair, the best measured
+#: calibration under shift of anything shipped (grid ECE 0.065, BENCH.md
+#: "Decoupled predictor/monitor deployment"): the accuracy-champion KD
+#: student predicts, the deployed AugMix-KD student independently monitors,
+#: and the wire confidence is min(predictor, monitor) — the trust lattice's
+#: explicit-failure-dominates rule applied to the model pair (reference
+#: platform/README.md:58-64 bounded-ML invariant). Two forwards per frame
+#: ride ONE micro-batched program. The round-4 multi-draw study made this
+#: the production recommendation: single-model confidence-honesty under
+#: shift did NOT replicate across independent data draws (BENCH.md
+#: "Multi-draw validation"), so production serving should never rest on one
+#: model's intrinsic calibration.
+PRESETS: dict[str, dict[str, dict[str, Any]]] = {
+    "gated": {
+        "server": {
+            "checkpoint": _ckpt("student_occl_acc"),
+            "monitor": _ckpt("student_nano"),
+        },
+    },
+}
+
+
 def config_from_env(base: FrameworkConfig | None = None) -> FrameworkConfig:
     """Build a config applying ``FAV_<SECTION>_<FIELD>`` environment overrides.
 
     Example: ``FAV_SERVER_PORT=9000 FAV_MODEL_ENSEMBLE_SIZE=3``.
+    ``FAV_PRESET=<name>`` first applies a named deployment preset
+    (:data:`PRESETS`); explicit per-field variables override preset values.
     """
     cfg = base or FrameworkConfig()
+    preset_name = os.environ.get("FAV_PRESET", "")
+    if preset_name:
+        if preset_name not in PRESETS:
+            raise ValueError(
+                f"FAV_PRESET={preset_name!r} unknown (available: {sorted(PRESETS)})"
+            )
+        for section_name, fields in PRESETS[preset_name].items():
+            section = getattr(cfg, section_name)
+            cfg = cfg.replace(**{section_name: dataclasses.replace(section, **fields)})
     updates: dict[str, Any] = {}
     for section_field in dataclasses.fields(cfg):
         section = getattr(cfg, section_field.name)

@@ -82,6 +82,7 @@ def test_ops_disjoint_from_test_corruptions():
     assert not op_names & set(CORRUPTION_NAMES)
 
 
+@pytest.mark.slow
 def test_freq_band_identity_at_zero_and_spectral_at_one():
     """The spectral band-gain op (weather-axis coverage): identity at mag 0,
     preserves the image mean (DC gain pinned to 1), and actually moves the
@@ -166,6 +167,7 @@ def test_occlude_identity_at_zero_and_blanks_at_one():
     assert len(vals) <= 6  # 2 rects x 3 channels
 
 
+@pytest.mark.slow
 def test_occlude_bars_identity_at_zero_and_oriented_at_one():
     """The oriented-bar occlusion op (snow-axis streak geometry): bitwise
     identity at mag 0 (strict-< masks); at mag 1 it blanks thin rotated
@@ -463,6 +465,7 @@ def test_augmix_pallas_dispatch_env_override(monkeypatch):
     assert augment._use_pallas_affine() is False
 
 
+@pytest.mark.slow
 def test_shift_rows_barrel_matches_windows_bitwise():
     """The barrel-shift form of _shift_rows must be BITWISE identical to the
     original window select-accumulate: same clip/floor/frac math, same padded

@@ -31,6 +31,7 @@ def _megastep(model, fns):
     return megastep
 
 
+@pytest.mark.slow
 def test_megastep_sharded_matches_single():
     model = create_model(ModelParams(widths=(8, 16), dense_width=16, compute_dtype="float32"))
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
@@ -50,6 +51,7 @@ def test_megastep_sharded_matches_single():
     assert len(got.sharding.device_set) >= 1  # executed under the mesh
 
 
+@pytest.mark.slow
 def test_megastep_deterministic_per_key():
     model = create_model(ModelParams(widths=(8, 16), dense_width=16))
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))

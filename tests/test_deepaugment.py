@@ -32,6 +32,7 @@ def test_perturb_params_strength_zero_is_identity(ae):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
+@pytest.mark.slow
 def test_perturb_params_changes_weights_and_preserves_structure(ae):
     _, params = ae
     out = perturb_params(jax.random.PRNGKey(1), params, jnp.float32(0.4))
@@ -45,6 +46,7 @@ def test_perturb_params_changes_weights_and_preserves_structure(ae):
         assert a.shape == b.shape and a.dtype == b.dtype
 
 
+@pytest.mark.slow
 def test_deepaugment_view_in_range_and_stochastic(ae):
     model, params = ae
     x = jnp.clip(

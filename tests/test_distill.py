@@ -32,6 +32,7 @@ def kd_setup():
 @pytest.mark.parametrize(
     "augmix", [False, pytest.param(True, marks=pytest.mark.slow)]
 )
+@pytest.mark.slow
 def test_kd_megastep_matches_per_step(kd_setup, augmix):
     ds, teacher, stacked, student = kd_setup
     kwargs = dict(

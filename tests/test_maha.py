@@ -37,6 +37,7 @@ def tiny_model():
     return model, variables
 
 
+@pytest.mark.slow
 def test_sow_is_noop_for_plain_apply(tiny_model):
     """The sow hook must not change logits, params, or the plain-apply
     return shape — serving/sweeps/training paths are bitwise unchanged."""
@@ -52,6 +53,7 @@ def test_sow_is_noop_for_plain_apply(tiny_model):
     assert set(variables.keys()) == {"params"}
 
 
+@pytest.mark.slow
 def test_sow_features_all_archs():
     """Every model family sows a [B, D] penultimate-feature row."""
     for mp, d in (

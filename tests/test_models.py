@@ -287,6 +287,7 @@ def test_vit_family_full_surface():
     assert not np.allclose(leaf0, leaf1)
 
 
+@pytest.mark.slow
 def test_megastep_matches_per_step_loop():
     """The device-resident K-step scan (train_classifier(megastep=K)) must
     reproduce the per-step host loop's trajectory — same shuffle stream

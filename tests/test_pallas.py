@@ -128,6 +128,7 @@ def test_fast_corruption_fn_fallback():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_photometric_pallas_exact():
     """brightness/contrast kernels are deterministic math — exact vs oracle
     at every severity (the per-image mean reduces in-kernel)."""

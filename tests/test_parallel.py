@@ -128,6 +128,7 @@ def test_fused_sweep_matches_per_cell(model_and_params):
             assert float(ref[metric]) == pytest.approx(got[n][s][metric], abs=3e-5), (n, s, metric)
 
 
+@pytest.mark.slow
 def test_per_cell_path_reproduces_fused(model_and_params):
     """`evaluate --per-cell` (corruption_sweep) must reproduce the default
     fused path cell-for-cell — both derive cell keys as fold_in(key,
@@ -418,6 +419,7 @@ def test_energy_score_ranks_low_evidence():
     assert float(energy_score(sat_small)[0]) > float(energy_score(sat_big)[0])
 
 
+@pytest.mark.slow
 def test_fused_sweep_return_probs_consistent(model_and_params):
     """return_probs=True ships each cell's temperature-scaled prob rows and
     must neither change the metrics nor disagree with them: per-cell mean
@@ -449,6 +451,7 @@ def test_fused_sweep_return_probs_consistent(model_and_params):
                 got[n][s][metric], abs=3e-5), (n, s, metric)
 
 
+@pytest.mark.slow
 def test_monitored_sweep_self_monitor_reproduces_plain(model_and_params):
     """monitor=(predictor itself) must reproduce the plain sweep exactly:
     same corrupted batches (same fold_in schedule), so accuracy AND every

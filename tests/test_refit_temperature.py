@@ -63,6 +63,7 @@ def test_refit_reports_and_writes_checkpoint(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_refit_rejects_ensembles(tmp_path):
     src, _ = _save_ckpt(tmp_path, "ens", {"ensemble_size": 5})
     with pytest.raises(SystemExit):

@@ -63,6 +63,7 @@ def test_stack_ensemble_roundtrip(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stack_ensemble_rejects_arch_mismatch(tmp_path):
     a_path, _ = _save_member(tmp_path, "a", 0)
     # different dense width = different architecture

