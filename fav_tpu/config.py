@@ -167,6 +167,27 @@ class ModelParams:
     mc_samples: int = 20
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # per-image standardization at the forward's front door — invariance to
+    # affine luminance veils by construction (the snow/fog/contrast base
+    # mechanism; models/cnn.py _standardize docstring). Checkpoint metadata
+    # records it so serving/evaluate rebuild the exact forward.
+    standardize_input: bool = False
+
+
+def model_params_from_metadata(base: "ModelParams", meta: dict) -> "ModelParams":
+    """Rebuild the architecture a checkpoint was trained with: metadata wins
+    over config/CLI defaults — restoring into the wrong template must be
+    impossible, not a silent fall-through to random weights (the serving
+    integrity rule; used by serving/inference.py and models/evaluate.py)."""
+    overrides: dict[str, Any] = {
+        k: meta[k]
+        for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads",
+                  "standardize_input")
+        if meta.get(k) is not None
+    }
+    if meta.get("widths"):
+        overrides["widths"] = tuple(meta["widths"])
+    return dataclasses.replace(base, **overrides) if overrides else base
 
 
 @dataclass(frozen=True)

@@ -48,6 +48,27 @@ def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[name]
 
 
+def standardize_image(x: jax.Array) -> jax.Array:
+    """Per-image standardization: ``(x - mean) / max(std, 1e-3)`` over
+    (H, W, C), computed in float32 before the bfloat16 cast.
+
+    Mechanism (round-4 snow pre-registration, measurements/r4/snow_prereg.md):
+    the weather grid cells apply *affine luminance veils* — snow's base is
+    ``blend*x + (1-blend)*whitened`` (ops/corruptions.py:202), contrast is
+    ``(x-m)*c + m``, brightness ``x + c``, fog an additive plume — and a
+    forward that standardizes its input is invariant to every affine map the
+    clip didn't destroy, by construction. Measured before retraining: the
+    deployed student recovers snow-sev5 0.113 -> 0.279 with this applied
+    test-time-only. Leak-freedom: this is an architecture property (input
+    normalization, classic CIFAR practice), not a training augmentation; no
+    corruption formula is used.
+    """
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=(-3, -2, -1), keepdims=True)
+    s = jnp.std(xf, axis=(-3, -2, -1), keepdims=True)
+    return (xf - m) / jnp.maximum(s, 1e-3)
+
+
 class FailureAwareCNN(nn.Module):
     """VGG-style CNN: N stages of [conv-GN-relu x2, stride-2 conv], then GAP
     and a dense head. GroupNorm (not BatchNorm) keeps the forward pure — no
@@ -60,10 +81,13 @@ class FailureAwareCNN(nn.Module):
     dense_width: int = 256
     dropout_rate: float = 0.1
     compute_dtype: str = "bfloat16"
+    standardize_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         dt = _dtype(self.compute_dtype)
+        if self.standardize_input:
+            x = standardize_image(x)
         x = x.astype(dt)
         for width in self.widths:
             for _ in range(2):
@@ -123,10 +147,13 @@ class ResNetSmall(nn.Module):
     blocks_per_stage: int = 2
     dropout_rate: float = 0.1
     compute_dtype: str = "bfloat16"
+    standardize_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         dt = _dtype(self.compute_dtype)
+        if self.standardize_input:
+            x = standardize_image(x)
         h = nn.Conv(self.widths[0], (3, 3), padding="SAME", dtype=dt)(x.astype(dt))
         for stage, width in enumerate(self.widths):
             for block in range(self.blocks_per_stage):
@@ -188,6 +215,7 @@ def create_model(params: ModelParams | None = None):
             mlp_dim=2 * p.vit_dim,
             dropout_rate=p.dropout_rate,
             compute_dtype=p.compute_dtype,
+            standardize_input=p.standardize_input,
         )
     if p.arch == "resnet":
         return ResNetSmall(
@@ -195,6 +223,7 @@ def create_model(params: ModelParams | None = None):
             widths=tuple(p.widths),
             dropout_rate=p.dropout_rate,
             compute_dtype=p.compute_dtype,
+            standardize_input=p.standardize_input,
         )
     return FailureAwareCNN(
         num_classes=p.num_classes,
@@ -202,6 +231,7 @@ def create_model(params: ModelParams | None = None):
         dense_width=p.dense_width,
         dropout_rate=p.dropout_rate,
         compute_dtype=p.compute_dtype,
+        standardize_input=p.standardize_input,
     )
 
 

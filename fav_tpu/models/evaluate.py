@@ -1,6 +1,6 @@
 """Corruption-sweep evaluation CLI: the full 15x5 robustness grid.
 
-Usage: ``python -m fav_tpu.models.evaluate [--checkpoint DIR] [--out FILE]``
+Usage: ``python -m fav_tpu.models.evaluate [--checkpoint DIR...] [--out FILE]``
 
 Runs every (corruption, severity) cell of the CIFAR-10-C-style grid through
 the (checkpointed or freshly trained) classifier and reports per-cell
@@ -8,6 +8,14 @@ accuracy, confidence, failure-detection AUROC and the trust-engine anomaly
 scalar — fault injection as *data*, replacing the reference's UI-slider-only
 injection (SURVEY.md §5.3). With multiple devices visible, images shard over
 the mesh's data axis automatically.
+
+``--checkpoint`` accepts MULTIPLE directories: the grid program is compiled
+(and, on the tunneled TPU, uploaded — the measured 84 s first-dispatch cost,
+ROADMAP #11) once per *architecture*, so evaluating N same-arch checkpoints
+in one invocation costs one session overhead + ~0.35 s device compute per
+extra grid instead of N full sessions. Model instances are cached per
+ModelParams so ``apply_fn`` hashes equal across checkpoints and the jitted
+``_fused_grid`` executable is reused.
 """
 
 from __future__ import annotations
@@ -16,119 +24,74 @@ import argparse
 import json
 import os
 
+# Module instances cached per ModelParams: jax.jit treats `model.apply` as a
+# static argument, and equal-but-distinct Flax module trees would recompile
+# (on the tunnel: re-upload) the fused grid program for every checkpoint of
+# the same architecture.
+_MODEL_CACHE: dict = {}
 
-def main(argv=None) -> dict:
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--checkpoint", type=str, default=None)
-    parser.add_argument("--out", type=str, default=None)
-    parser.add_argument("--num-images", type=int, default=2048)
-    parser.add_argument("--train-steps", type=int, default=0,
-                        help="train this many steps if no checkpoint is found")
-    parser.add_argument("--corruptions", type=str, default="",
-                        help="comma-separated subset (default: all 15)")
-    parser.add_argument("--widths", type=str, default="",
-                        help="comma-separated CNN stage widths (default: config)")
-    parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet", "vit"),
-                        help="classifier family (fav_tpu/models/cnn.py)")
-    parser.add_argument("--ensemble", type=int, default=0,
-                        help="evaluate an N-member ensemble checkpoint "
-                             "(checkpoints/ensemble unless --checkpoint): "
-                             "member-logit-averaged forward in every cell")
-    parser.add_argument("--mc-dropout", type=int, default=0,
-                        help="evaluate the single-model checkpoint with N "
-                             "MC-dropout replicas (logit-averaged)")
-    parser.add_argument("--tta", type=int, default=0, metavar="K",
-                        help="test-time augmentation: average logits over the "
-                             "clean view + K-1 label-invariant AugMix views "
-                             "(PAPERS.md: lossy label-invariant transformations "
-                             "improve classifier confidence; views are "
-                             "leak-free vs the grid by construction). One "
-                             "K-view batched forward per cell, like "
-                             "--mc-dropout's replicas")
-    parser.add_argument("--per-cell", action="store_true",
-                        help="dispatch one program per grid cell instead of "
-                             "the fused whole-grid program (debugging aid)")
-    parser.add_argument("--conformal", type=float, default=0.0, metavar="ALPHA",
-                        help="split-conformal prediction sets at miscoverage "
-                             "ALPHA (e.g. 0.1): calibrate on held-out clean "
-                             "data, report coverage + set size per grid cell "
-                             "(fav_tpu/models/conformal.py; fused path only)")
-    parser.add_argument("--maha", action="store_true",
-                        help="feature-space failure scores: fit class-"
-                             "conditional Gaussians on penultimate train-set "
-                             "features and report per-cell Mahalanobis + "
-                             "relative-Mahalanobis AUROC (auroc_maha/"
-                             "auroc_rmd; fav_tpu/models/mahalanobis.py). "
-                             "Single-forward scorers only")
-    parser.add_argument("--maha-fit-images", type=int, default=10240,
-                        help="train images used for the Gaussian fit")
-    parser.add_argument("--monitor", type=str, default=None, metavar="DIR",
-                        help="decoupled predictor/monitor deployment: "
-                             "predictions (accuracy) come from the main "
-                             "checkpoint, the failure score and operative "
-                             "calibration come from this independent "
-                             "checkpoint's confidence on the same corrupted "
-                             "batch (the reference's bounded-ML invariant "
-                             "applied across the model zoo; predictor "
-                             "self-scores kept as auroc_self/ece_self)")
-    args = parser.parse_args(argv)
-    if args.conformal and args.per_cell:
-        parser.error("--conformal requires the fused sweep path")
-    if args.monitor and (args.per_cell or args.conformal or args.tta > 1):
-        parser.error("--monitor requires the fused sweep path and is "
-                     "mutually exclusive with --conformal/--tta")
-    if args.maha and (args.ensemble or args.mc_dropout or args.tta > 1
-                      or args.conformal or args.monitor):
-        parser.error("--maha is a single-forward feature-space score; it is "
-                     "mutually exclusive with --ensemble/--mc-dropout/--tta/"
-                     "--conformal/--monitor")
 
-    import jax
-
-    # persistent compilation cache: 75 grid cells = 75 programs; repeat runs
-    # (and bench.py, which shares the cache dir) skip recompiles
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-    import jax.numpy as jnp
-
-    from fav_tpu.config import ModelParams
-    from fav_tpu.data.cifar import load_cifar10
+def _cached_model(mp):
     from fav_tpu.models.cnn import create_model
-    from fav_tpu.models.train import train_classifier
-    from fav_tpu.ops.corruptions import CORRUPTION_NAMES
-    from fav_tpu.parallel.mesh import build_mesh
-    from fav_tpu.parallel.sweep import corruption_sweep, fused_sweep, sharded_sweep
-    from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR, restore_checkpoint
 
-    ds = load_cifar10()
+    if mp not in _MODEL_CACHE:
+        _MODEL_CACHE[mp] = create_model(mp)
+    return _MODEL_CACHE[mp]
+
+
+def _model_params_for(ckpt: str, args, parser):
+    """Resolve ModelParams: checkpoint metadata wins over CLI arch/width
+    flags (same integrity rule as serving: rebuilding the wrong template
+    must be impossible)."""
+    from fav_tpu.config import ModelParams, model_params_from_metadata
+
     mp = ModelParams(arch=args.arch)
     if args.widths:
         widths = tuple(int(w) for w in args.widths.split(","))
         mp = ModelParams(arch=args.arch, widths=widths, dense_width=widths[-1])
-
-    # checkpoint metadata wins over CLI arch/width flags (same integrity rule
-    # as serving: rebuilding the wrong template must be impossible)
-    default_name = "ensemble" if args.ensemble else "classifier"
-    ckpt = args.checkpoint or os.path.join(DEFAULT_CKPT_DIR, default_name)
     meta_path = os.path.join(ckpt, "metadata.json")
     if os.path.isfile(meta_path):
-        import dataclasses
-
         with open(meta_path) as f:
             meta = json.load(f)
-        overrides = {
-            k: meta[k]
-            for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads")
-            if meta.get(k) is not None
-        }
-        if meta.get("widths"):
-            overrides["widths"] = tuple(meta["widths"])
-        if overrides:
-            mp = dataclasses.replace(mp, **overrides)
-    model = create_model(mp)
+        mp = model_params_from_metadata(mp, meta)
+    return mp
+
+
+def _load_monitor(monitor_dir: str, sample, parser):
+    """Build the decoupled monitor (apply, params, temperature); must exist —
+    a random-init monitor would score noise and silently report a broken
+    deployment as measured."""
+    import jax
+
+    from fav_tpu.config import ModelParams, model_params_from_metadata
+    from fav_tpu.utils.checkpoint import restore_checkpoint
+
+    mon_meta_path = os.path.join(monitor_dir, "metadata.json")
+    if not os.path.isfile(mon_meta_path):
+        parser.error(f"--monitor: no checkpoint at {monitor_dir}")
+    with open(mon_meta_path) as f:
+        mon_meta = json.load(f)
+    mon_mp = model_params_from_metadata(ModelParams(), mon_meta)
+    mon_model = _cached_model(mon_mp)
+    mon_params = mon_model.init(jax.random.PRNGKey(0), sample)
+    mon_params, mon_meta = restore_checkpoint(monitor_dir, mon_params)
+    return (mon_model.apply, mon_params, float(mon_meta.get("temperature", 1.0)))
+
+
+def _evaluate_checkpoint(ckpt, args, ds, images, labels, monitor, parser) -> dict:
+    """One checkpoint through the full grid; the heavy jitted programs are
+    shared across calls via the module-level model cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from fav_tpu.models.train import train_classifier
+    from fav_tpu.ops.corruptions import CORRUPTION_NAMES
+    from fav_tpu.parallel.mesh import build_mesh
+    from fav_tpu.parallel.sweep import corruption_sweep, fused_sweep, sharded_sweep
+    from fav_tpu.utils.checkpoint import restore_checkpoint
+
+    mp = _model_params_for(ckpt, args, parser)
+    model = _cached_model(mp)
     sample = jnp.zeros((1,) + ds.test_images.shape[1:], jnp.float32)
     # multi-forward scorers hand the sweep STACKED member logits [M, B, C]:
     # sweep._reduce_members keeps predictions on the logit average (bitwise
@@ -219,36 +182,7 @@ def main(argv=None) -> dict:
             feats, logits = features_and_logits(model, p, x)
             return logits, mahalanobis_scores(feats, _fit)
 
-    monitor = None
-    if args.monitor:
-        # monitor checkpoint must exist — a random-init monitor would score
-        # noise and silently report a broken deployment as measured
-        import dataclasses
-
-        mon_meta_path = os.path.join(args.monitor, "metadata.json")
-        if not os.path.isfile(mon_meta_path):
-            parser.error(f"--monitor: no checkpoint at {args.monitor}")
-        with open(mon_meta_path) as f:
-            mon_meta = json.load(f)
-        mon_mp = ModelParams()
-        mon_overrides = {
-            k: mon_meta[k]
-            for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads")
-            if mon_meta.get(k) is not None
-        }
-        if mon_meta.get("widths"):
-            mon_overrides["widths"] = tuple(mon_meta["widths"])
-        mon_mp = dataclasses.replace(mon_mp, **mon_overrides)
-        mon_model = create_model(mon_mp)
-        mon_params = mon_model.init(jax.random.PRNGKey(0), sample)
-        mon_params, mon_meta = restore_checkpoint(args.monitor, mon_params)
-        monitor = (
-            mon_model.apply, mon_params, float(mon_meta.get("temperature", 1.0)),
-        )
-
-    n = min(args.num_images, ds.test_images.shape[0])
-    images = jnp.asarray(ds.test_images[:n])
-    labels = jnp.asarray(ds.test_labels[:n])
+    n = images.shape[0]
     names = tuple(c for c in args.corruptions.split(",") if c) or CORRUPTION_NAMES
 
     key = jax.random.PRNGKey(42)
@@ -375,13 +309,124 @@ def main(argv=None) -> dict:
     }
     if conformal_summary is not None:
         overall["conformal"] = conformal_summary
-    result = {"summary": overall, "per_corruption": per_corruption, "grid": grid}
-    print(json.dumps(overall, indent=2))
+    return {"summary": overall, "per_corruption": per_corruption, "grid": grid}
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", type=str, nargs="*", default=None,
+                        help="checkpoint dir(s); several same-arch dirs share "
+                             "one compiled/uploaded grid program (~0.35 s per "
+                             "extra grid instead of a full session each)")
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--num-images", type=int, default=2048)
+    parser.add_argument("--train-steps", type=int, default=0,
+                        help="train this many steps if no checkpoint is found")
+    parser.add_argument("--corruptions", type=str, default="",
+                        help="comma-separated subset (default: all 15)")
+    parser.add_argument("--widths", type=str, default="",
+                        help="comma-separated CNN stage widths (default: config)")
+    parser.add_argument("--arch", type=str, default="vgg", choices=("vgg", "resnet", "vit"),
+                        help="classifier family (fav_tpu/models/cnn.py)")
+    parser.add_argument("--ensemble", type=int, default=0,
+                        help="evaluate an N-member ensemble checkpoint "
+                             "(checkpoints/ensemble unless --checkpoint): "
+                             "member-logit-averaged forward in every cell")
+    parser.add_argument("--mc-dropout", type=int, default=0,
+                        help="evaluate the single-model checkpoint with N "
+                             "MC-dropout replicas (logit-averaged)")
+    parser.add_argument("--tta", type=int, default=0, metavar="K",
+                        help="test-time augmentation: average logits over the "
+                             "clean view + K-1 label-invariant AugMix views "
+                             "(PAPERS.md: lossy label-invariant transformations "
+                             "improve classifier confidence; views are "
+                             "leak-free vs the grid by construction). One "
+                             "K-view batched forward per cell, like "
+                             "--mc-dropout's replicas")
+    parser.add_argument("--per-cell", action="store_true",
+                        help="dispatch one program per grid cell instead of "
+                             "the fused whole-grid program (debugging aid)")
+    parser.add_argument("--conformal", type=float, default=0.0, metavar="ALPHA",
+                        help="split-conformal prediction sets at miscoverage "
+                             "ALPHA (e.g. 0.1): calibrate on held-out clean "
+                             "data, report coverage + set size per grid cell "
+                             "(fav_tpu/models/conformal.py; fused path only)")
+    parser.add_argument("--maha", action="store_true",
+                        help="feature-space failure scores: fit class-"
+                             "conditional Gaussians on penultimate train-set "
+                             "features and report per-cell Mahalanobis + "
+                             "relative-Mahalanobis AUROC (auroc_maha/"
+                             "auroc_rmd; fav_tpu/models/mahalanobis.py). "
+                             "Single-forward scorers only")
+    parser.add_argument("--maha-fit-images", type=int, default=10240,
+                        help="train images used for the Gaussian fit")
+    parser.add_argument("--monitor", type=str, default=None, metavar="DIR",
+                        help="decoupled predictor/monitor deployment: "
+                             "predictions (accuracy) come from the main "
+                             "checkpoint, the failure score and operative "
+                             "calibration come from this independent "
+                             "checkpoint's confidence on the same corrupted "
+                             "batch (the reference's bounded-ML invariant "
+                             "applied across the model zoo; predictor "
+                             "self-scores kept as auroc_self/ece_self)")
+    args = parser.parse_args(argv)
+    if args.conformal and args.per_cell:
+        parser.error("--conformal requires the fused sweep path")
+    if args.monitor and (args.per_cell or args.conformal or args.tta > 1):
+        parser.error("--monitor requires the fused sweep path and is "
+                     "mutually exclusive with --conformal/--tta")
+    if args.maha and (args.ensemble or args.mc_dropout or args.tta > 1
+                      or args.conformal or args.monitor):
+        parser.error("--maha is a single-forward feature-space score; it is "
+                     "mutually exclusive with --ensemble/--mc-dropout/--tta/"
+                     "--conformal/--monitor")
+
+    import jax
+
+    # persistent compilation cache: 75 grid cells = 75 programs; repeat runs
+    # (and bench.py, which shares the cache dir) skip recompiles
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+
+    from fav_tpu.data.cifar import load_cifar10
+    from fav_tpu.utils.checkpoint import DEFAULT_CKPT_DIR
+
+    ds = load_cifar10()
+    default_name = "ensemble" if args.ensemble else "classifier"
+    ckpts = args.checkpoint or [os.path.join(DEFAULT_CKPT_DIR, default_name)]
+
+    n = min(args.num_images, ds.test_images.shape[0])
+    images = jnp.asarray(ds.test_images[:n])
+    labels = jnp.asarray(ds.test_labels[:n])
+
+    monitor = None
+    if args.monitor:
+        sample = jnp.zeros((1,) + ds.test_images.shape[1:], jnp.float32)
+        monitor = _load_monitor(args.monitor, sample, parser)
+
+    results: dict[str, dict] = {}
+    for ckpt in ckpts:
+        result = _evaluate_checkpoint(ckpt, args, ds, images, labels, monitor, parser)
+        results[ckpt] = result
+        print(json.dumps(result["summary"], indent=2))
+
+    if len(ckpts) == 1:
+        result = results[ckpts[0]]
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(result, f, indent=2)
+            print(f"full grid -> {args.out}")
+        return result
+    combined = {"checkpoints": results}
     if args.out:
         with open(args.out, "w") as f:
-            json.dump(result, f, indent=2)
-        print(f"full grid -> {args.out}")
-    return result
+            json.dump(combined, f, indent=2)
+        print(f"full grids -> {args.out}")
+    return combined
 
 
 def cli_main(argv=None) -> None:

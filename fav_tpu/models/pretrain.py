@@ -282,7 +282,8 @@ def _distill_ensemble(args) -> dict:
         widths = tuple(int(w) for w in args.widths.split(","))
     else:
         widths = tuple(w // 2 for w in t_mp.widths)
-    s_mp = ModelParams(arch="vgg", widths=widths, dense_width=widths[-1])
+    s_mp = ModelParams(arch="vgg", widths=widths, dense_width=widths[-1],
+                       standardize_input=args.standardize)
     student_model = create_model(s_mp)
     print(f"distilling {size}-member {t_mp.widths} ensemble -> student {widths}")
 
@@ -331,6 +332,7 @@ def _distill_ensemble(args) -> dict:
         "arch": s_mp.arch,
         "widths": list(s_mp.widths),
         "dense_width": s_mp.dense_width,
+        **({"standardize_input": True} if s_mp.standardize_input else {}),
     }
     print(json.dumps(metrics, indent=2))
     out_dir = args.out or os.path.join(DEFAULT_CKPT_DIR, "student_compact")
@@ -413,6 +415,14 @@ def main(argv=None) -> dict:
                              "train step's measured missing third; "
                              "randomness keys/draws stay f32, see "
                              "ops/augment.py augmix docstring)")
+    parser.add_argument("--standardize", action="store_true",
+                        help="per-image input standardization inside the "
+                             "forward (models/cnn.py:standardize_image) — "
+                             "invariance to affine luminance veils by "
+                             "construction (the snow/fog/contrast base "
+                             "mechanism; round-4 snow pre-registration). "
+                             "Recorded in checkpoint metadata so serving/"
+                             "evaluate rebuild the exact forward")
     parser.add_argument("--megastep", type=int, default=0, metavar="K",
                         help="run training as device-resident K-step scans "
                              "(one program, dataset resident on device, "
@@ -501,10 +511,11 @@ def main(argv=None) -> dict:
     ds = load_cifar10()
     print(f"dataset: {ds.source} ({ds.train_images.shape[0]} train / {ds.test_images.shape[0]} test)")
 
-    mp = ModelParams(arch=args.arch)
+    mp = ModelParams(arch=args.arch, standardize_input=args.standardize)
     if args.widths:
         widths = tuple(int(w) for w in args.widths.split(","))
-        mp = ModelParams(arch=args.arch, widths=widths, dense_width=widths[-1])
+        mp = ModelParams(arch=args.arch, widths=widths, dense_width=widths[-1],
+                         standardize_input=args.standardize)
     model = create_model(mp)
     if args.ensemble:
         params = _train_ensemble(model, ds, args)
@@ -578,6 +589,7 @@ def main(argv=None) -> dict:
         "arch": mp.arch,
         "widths": list(mp.widths),
         "dense_width": mp.dense_width,
+        **({"standardize_input": True} if mp.standardize_input else {}),
         **(
             {"vit_dim": mp.vit_dim, "vit_depth": mp.vit_depth, "vit_heads": mp.vit_heads}
             if mp.arch == "vit"

