@@ -15,6 +15,11 @@ reference docs/system_notes.md:199-229):
    are not.
 3. **Snow sev5 floor** — every model's snow-severity-5 accuracy is stuck
    (<0.30) regardless of recipe ("structural" claim, ROADMAP).
+4. **Min-gate fixes honesty across draws** — the production preset's claim:
+   the per-draw champion min-gated by that draw's independent student
+   monitor (``evaluate --monitor``) has zero confident-wrong cells on every
+   draw, including the draws where BOTH models' intrinsic confidence fails
+   (GATED_SOURCES rows; operative confidence = min of the pair).
 
 Usage: ``python tools/multidraw_report.py [--json OUT]``
 """
@@ -48,12 +53,23 @@ SOURCES: dict[int, dict[str, str]] = {
     },
 }
 
+# The production preset's cross-draw check (the follow-up to verdict 3 —
+# single-model honesty does not replicate, so the deployment min-gates the
+# predictor with an independent monitor): per-draw occl champion gated by
+# that draw's nano student, via ``evaluate --monitor``. Rows use the GATED
+# operative confidence (min(predictor, monitor), sweep.py:auroc_gated).
+GATED_SOURCES: dict[int, str] = {
+    0: "measurements/r4/draw0/grid_occl_gated.json",
+    1: "measurements/r4/draw1/grid_occl_gated.json",
+    2: "measurements/r4/draw2/grid_occl_gated.json",
+}
+
 CONFIDENT_WRONG_ACC = 0.30   # a cell the model has effectively failed on...
 CONFIDENT_WRONG_CONF = 0.60  # ...while still claiming this much confidence
 SNOW_FLOOR = 0.30
 
 
-def load_rows(sources=SOURCES):
+def load_rows(sources=SOURCES, gated_sources=GATED_SOURCES):
     rows = {}
     for draw, models in sources.items():
         for model, rel in models.items():
@@ -78,6 +94,29 @@ def load_rows(sources=SOURCES):
                 "confident_wrong_cells": len(cw),
                 "source": rel,
             }
+    for draw, rel in gated_sources.items():
+        path = os.path.join(REPO, rel)
+        if not os.path.isfile(path):
+            continue
+        g = json.load(open(path))
+        cells = [c for corr in g["grid"].values() for c in corr.values()]
+        snow5 = g["grid"]["snow"]["5"]
+        cw = [
+            c for c in cells
+            if c["accuracy"] < CONFIDENT_WRONG_ACC
+            and c["mean_confidence_gated"] > CONFIDENT_WRONG_CONF
+        ]
+        rows[(draw, "gated")] = {
+            "acc": g["summary"]["mean_corrupted_accuracy"],
+            "auroc": round(
+                sum(c["auroc_gated"] for c in cells) / len(cells), 4),
+            "ece": round(sum(c["ece_gated"] for c in cells) / len(cells), 4),
+            "snow5_acc": round(snow5["accuracy"], 3),
+            "snow5_conf": round(snow5["mean_confidence_gated"], 3),
+            "snow5_auroc": round(snow5["auroc_gated"], 3),
+            "confident_wrong_cells": len(cw),
+            "source": rel,
+        }
     return rows
 
 
@@ -95,6 +134,10 @@ def verdicts(rows):
     v["occl_confident_wrong_somewhere"] = {
         d: rows[(d, "occl")]["confident_wrong_cells"] > 0
         for d in draws if (d, "occl") in rows
+    }
+    v["gated_honest_everywhere"] = {
+        d: rows[(d, "gated")]["confident_wrong_cells"] == 0
+        for d in draws if (d, "gated") in rows
     }
     v["snow_floor_all_models"] = {
         d: all(
