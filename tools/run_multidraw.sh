@@ -34,6 +34,18 @@ for d in "$@"; do
     --out "$R/grid_student.json" > "$R/eval_student.log" 2>&1
   python -m fav_tpu.models.evaluate --checkpoint "$R/classifier_occl" \
     --out "$R/grid_occl.json" > "$R/eval_occl.log" 2>&1
+  python -m fav_tpu.models.evaluate --checkpoint "$R/ensemble" --ensemble 5 \
+    --out "$R/grid_ensemble.json" > "$R/eval_ensemble.log" 2>&1
+  # the production preset, per draw: occl champion min-gated by that draw's
+  # independent student monitor (BENCH.md "Defense in depth")
+  python -m fav_tpu.models.evaluate --checkpoint "$R/classifier_occl" \
+    --monitor "$R/student_nano" \
+    --out "$R/grid_occl_gated.json" > "$R/eval_gated.log" 2>&1
+  # feature-space failure scores (RMD/Mahalanobis) on that draw's student
+  python -m fav_tpu.models.evaluate --checkpoint "$R/student_nano" --maha \
+    --out "$R/grid_student_maha.json" > "$R/eval_maha.log" 2>&1
   echo "=== draw $d done"
 done
 echo "ALL DRAWS DONE"
+echo "aggregate: python tools/multidraw_report.py --json measurements/r4/multidraw_report.json"
+echo "L1 cross-check: python tools/defense_in_depth.py --json measurements/r4/defense_in_depth.json"
