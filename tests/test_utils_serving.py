@@ -858,7 +858,8 @@ def test_evaluate_cli_multi_checkpoint(tmp_path):
     assert len(evaluate._MODEL_CACHE) == 1
     with open(out_json) as f:
         assert set(json.load(f)["checkpoints"]) == set(dirs)
-    # the two checkpoints genuinely differ (different seeds -> different grids)
-    g0 = result["checkpoints"][dirs[0]]["grid"]["gaussian_noise"]["1"]["accuracy"]
-    g1 = result["checkpoints"][dirs[1]]["grid"]["gaussian_noise"]["1"]["accuracy"]
-    assert (g0, g1) != (None, None)
+    # the two checkpoints genuinely differ (different seeds -> different
+    # grids). NB: in-memory grids key severity as int; JSON stringifies.
+    g0 = result["checkpoints"][dirs[0]]["grid"]["gaussian_noise"][1]
+    g1 = result["checkpoints"][dirs[1]]["grid"]["gaussian_noise"][1]
+    assert g0 != g1
