@@ -55,13 +55,26 @@ SOURCES: dict[int, dict[str, str]] = {
 
 # The production preset's cross-draw check (the follow-up to verdict 3 —
 # single-model honesty does not replicate, so the deployment min-gates the
-# predictor with an independent monitor): per-draw occl champion gated by
-# that draw's nano student, via ``evaluate --monitor``. Rows use the GATED
-# operative confidence (min(predictor, monitor), sweep.py:auroc_gated).
-GATED_SOURCES: dict[int, str] = {
-    0: "measurements/r4/draw0/grid_occl_gated.json",
-    1: "measurements/r4/draw1/grid_occl_gated.json",
-    2: "measurements/r4/draw2/grid_occl_gated.json",
+# predictor with an independent monitor), via ``evaluate --monitor``. Rows
+# use the GATED operative confidence (min(predictor, monitor),
+# sweep.py:auroc_gated). Two pairings per draw:
+#   gated     — that draw's occl champion gated by its nano student
+#   std_gated — that draw's standardized KD student (affine-veil-invariant
+#               by construction, models/cnn.py:standardize_image) gated by
+#               its nano student
+GATED_SOURCES: dict[int, dict[str, str]] = {
+    0: {
+        "gated": "measurements/r4/draw0/grid_occl_gated.json",
+        "std_gated": "measurements/r4/grid_std_gated.json",
+    },
+    1: {
+        "gated": "measurements/r4/draw1/grid_occl_gated.json",
+        "std_gated": "measurements/r4/draw1/grid_std_gated.json",
+    },
+    2: {
+        "gated": "measurements/r4/draw2/grid_occl_gated.json",
+        "std_gated": "measurements/r4/draw2/grid_std_gated.json",
+    },
 }
 
 CONFIDENT_WRONG_ACC = 0.30   # a cell the model has effectively failed on...
@@ -94,29 +107,33 @@ def load_rows(sources=SOURCES, gated_sources=GATED_SOURCES):
                 "confident_wrong_cells": len(cw),
                 "source": rel,
             }
-    for draw, rel in gated_sources.items():
-        path = os.path.join(REPO, rel)
-        if not os.path.isfile(path):
-            continue
-        g = json.load(open(path))
-        cells = [c for corr in g["grid"].values() for c in corr.values()]
-        snow5 = g["grid"]["snow"]["5"]
-        cw = [
-            c for c in cells
-            if c["accuracy"] < CONFIDENT_WRONG_ACC
-            and c["mean_confidence_gated"] > CONFIDENT_WRONG_CONF
-        ]
-        rows[(draw, "gated")] = {
-            "acc": g["summary"]["mean_corrupted_accuracy"],
-            "auroc": round(
-                sum(c["auroc_gated"] for c in cells) / len(cells), 4),
-            "ece": round(sum(c["ece_gated"] for c in cells) / len(cells), 4),
-            "snow5_acc": round(snow5["accuracy"], 3),
-            "snow5_conf": round(snow5["mean_confidence_gated"], 3),
-            "snow5_auroc": round(snow5["auroc_gated"], 3),
-            "confident_wrong_cells": len(cw),
-            "source": rel,
-        }
+    for draw, pairings in gated_sources.items():
+        if isinstance(pairings, str):  # legacy single-pairing form
+            pairings = {"gated": pairings}
+        for label, rel in pairings.items():
+            path = os.path.join(REPO, rel)
+            if not os.path.isfile(path):
+                continue
+            g = json.load(open(path))
+            cells = [c for corr in g["grid"].values() for c in corr.values()]
+            snow5 = g["grid"]["snow"]["5"]
+            cw = [
+                c for c in cells
+                if c["accuracy"] < CONFIDENT_WRONG_ACC
+                and c["mean_confidence_gated"] > CONFIDENT_WRONG_CONF
+            ]
+            rows[(draw, label)] = {
+                "acc": g["summary"]["mean_corrupted_accuracy"],
+                "auroc": round(
+                    sum(c["auroc_gated"] for c in cells) / len(cells), 4),
+                "ece": round(
+                    sum(c["ece_gated"] for c in cells) / len(cells), 4),
+                "snow5_acc": round(snow5["accuracy"], 3),
+                "snow5_conf": round(snow5["mean_confidence_gated"], 3),
+                "snow5_auroc": round(snow5["auroc_gated"], 3),
+                "confident_wrong_cells": len(cw),
+                "source": rel,
+            }
     return rows
 
 
@@ -138,6 +155,16 @@ def verdicts(rows):
     v["gated_honest_everywhere"] = {
         d: rows[(d, "gated")]["confident_wrong_cells"] == 0
         for d in draws if (d, "gated") in rows
+    }
+    # the round-4 challenger pairing: standardized student predictor +
+    # nano monitor — does it dominate the occl pairing (>= accuracy AND
+    # <= confident-wrong cells) on every draw it was measured on?
+    v["std_pair_dominates_occl_pair"] = {
+        d: (rows[(d, "std_gated")]["acc"] >= rows[(d, "gated")]["acc"]
+            and rows[(d, "std_gated")]["confident_wrong_cells"]
+            <= rows[(d, "gated")]["confident_wrong_cells"])
+        for d in draws
+        if (d, "std_gated") in rows and (d, "gated") in rows
     }
     v["snow_floor_all_models"] = {
         d: all(
