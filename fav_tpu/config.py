@@ -270,22 +270,32 @@ def _ckpt(name: str) -> str:
 #: One-flag deployment presets (``FAV_PRESET=<name>``), applied BEFORE the
 #: per-field env overrides so any ``FAV_SERVER_*`` variable still wins.
 #:
-#: ``gated`` — the min-gated predictor/monitor pair, the best measured
-#: calibration under shift of anything shipped (grid ECE 0.065, BENCH.md
-#: "Decoupled predictor/monitor deployment"): the accuracy-champion KD
-#: student predicts, the deployed AugMix-KD student independently monitors,
-#: and the wire confidence is min(predictor, monitor) — the trust lattice's
-#: explicit-failure-dominates rule applied to the model pair (reference
-#: platform/README.md:58-64 bounded-ML invariant). Two forwards per frame
-#: ride ONE micro-batched program. The round-4 multi-draw study made this
-#: the production recommendation: single-model confidence-honesty under
-#: shift did NOT replicate across independent data draws (BENCH.md
-#: "Multi-draw validation"), so production serving should never rest on one
-#: model's intrinsic calibration.
+#: ``gated`` — the min-gated predictor/monitor pair: the standardized
+#: AugMix-KD student predicts (per-image input standardization,
+#: models/cnn.py:standardize_image — affine-veil invariance by
+#: construction, so the contrast column is solved exactly: 0.831 flat at
+#: every severity), the deployed AugMix-KD nano student independently
+#: monitors, and the wire confidence is min(predictor, monitor) — the
+#: trust lattice's explicit-failure-dominates rule applied to the model
+#: pair (reference platform/README.md:58-64 bounded-ML invariant). Two
+#: nano forwards per frame ride ONE micro-batched program.
+#:
+#: Why this pair (round-4 cross-draw study, BENCH.md "Multi-draw
+#: validation"): single-model confidence-honesty under shift did NOT
+#: replicate across independent data draws, so production serving never
+#: rests on one model's intrinsic calibration; and among measured pairings
+#: this one is the only deployment with <=2 confident-wrong cells on EVERY
+#: draw (0/2/0 vs the occl pairing's 0/3/4; the two residual draw-1 cells
+#: are L1-flagged at 0.94-0.97) while winning corrupted accuracy on 2/3
+#: draws (0.751/0.835/0.612). Trade-offs, measured: grid ECE 0.093 vs the
+#: occl pairing's 0.065 — dominated by SAFE-direction underconfidence
+#: where the monitor fails on cells the predictor solved — and -0.033
+#: accuracy on the hostile draw 2 in exchange for zeroing its 4
+#: confident-wrong cells.
 PRESETS: dict[str, dict[str, dict[str, Any]]] = {
     "gated": {
         "server": {
-            "checkpoint": _ckpt("student_occl_acc"),
+            "checkpoint": _ckpt("student_std"),
             "monitor": _ckpt("student_nano"),
         },
     },

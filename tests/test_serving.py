@@ -589,8 +589,12 @@ def test_tick_live_degraded_wire_field(tmp_path):
     conn.video = StubVideo()
 
     async def run():
-        # first ticks warm the model; keep ticking until scores attach
-        for _ in range(600):
+        # first ticks warm the model; keep ticking until scores attach.
+        # Budget: a COLD flax init is ~15-17 s of sequential op-compiles on
+        # this 1-core box (fine warm — earlier tests usually pre-compile),
+        # so give it 60 s wall and exit as soon as scores attach.
+        deadline = asyncio.get_running_loop().time() + 60.0
+        while asyncio.get_running_loop().time() < deadline:
             state = await _tick_live(conn, 1 / 30)
             if conn.last_inference:
                 break

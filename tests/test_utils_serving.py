@@ -811,7 +811,7 @@ def test_gated_preset(monkeypatch):
 
     monkeypatch.setenv("FAV_PRESET", "gated")
     cfg = config_from_env()
-    assert cfg.server.checkpoint.endswith("checkpoints/student_occl_acc")
+    assert cfg.server.checkpoint.endswith("checkpoints/student_std")
     assert cfg.server.monitor.endswith("checkpoints/student_nano")
     assert os.path.isdir(cfg.server.checkpoint), "preset points at a missing checkpoint"
     assert os.path.isdir(cfg.server.monitor), "preset points at a missing checkpoint"
