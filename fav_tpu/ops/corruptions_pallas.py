@@ -36,6 +36,9 @@ __all__ = [
     "glass_blur_pallas",
     "glass_resample_pallas",
     "elastic_transform_pallas",
+    "defocus_blur_matmul",
+    "motion_blur_matmul",
+    "zoom_blur_matmul",
     "corrupt_normalize_pallas",
     "fast_corruption_fn",
     "GAUSSIAN_SIGMA",
@@ -432,6 +435,73 @@ def _key_to_seed(key):
     return (data[0] ^ data[-1]).astype(jnp.int32)
 
 
+# ── MXU banded-matmul blur variants (not Pallas — XLA matmuls) ──────────────
+#
+# The megastep's corruption share is dominated by the conv-blur family
+# (measured same-session, tools/bench_corruption_share.py: conv blurs ~19 ms
+# of the ~70 ms corruption slice at batch 6144): a [K,K] depthwise PSF over
+# 32x32x3 images degenerates to VPU scalar work. These run the identical
+# filters as rank-stacked banded matmuls on the MXU
+# (ops/image.py:depthwise_conv2d_matmul / resize_crop_band) — exact up to
+# float reassociation vs the jnp oracles (tests/test_corruptions.py).
+
+def defocus_blur_matmul(key, x, severity: int = 3):
+    """MXU form of :func:`fav_tpu.ops.corruptions.defocus_blur`."""
+    from fav_tpu.ops.corruptions import _disk, _sev
+    from fav_tpu.ops.image import depthwise_conv2d_matmul
+
+    radius, alias = _sev([(3, 0.1), (4, 0.5), (6, 0.5), (8, 0.5), (10, 0.5)], severity)
+    return jnp.clip(depthwise_conv2d_matmul(x, _disk(radius, alias)), 0.0, 1.0)
+
+
+def motion_blur_matmul(key, x, severity: int = 3):
+    """MXU form of :func:`fav_tpu.ops.corruptions.motion_blur`: band factors
+    for all 8 candidate streak angles are precomputed (zero-padded to a
+    common rank) and the traced angle index selects on device — the SAME
+    kernel the oracle would pick for this key."""
+    from fav_tpu.ops.corruptions import _motion, _sev
+    from fav_tpu.ops.image import svd_band_factors
+
+    length, sigma = _sev([(7, 3.0), (9, 5.0), (11, 7.0), (13, 9.0), (15, 12.0)], severity)
+    _, h, w, _ = x.shape
+    angles = np.linspace(-45.0, 45.0, 8)
+    factors = [svd_band_factors(_motion(length, sigma, a), h, w) for a in angles]
+    rmax = max(my.shape[0] for my, _ in factors)
+
+    def padr(m, size):
+        return np.pad(m, ((0, rmax - m.shape[0]), (0, 0), (0, 0)))[None]
+
+    mys = jnp.asarray(np.concatenate([padr(my, rmax) for my, _ in factors]), x.dtype)
+    mxs = jnp.asarray(np.concatenate([padr(mx, rmax) for _, mx in factors]), x.dtype)
+    idx = jax.random.randint(key, (), 0, len(angles))
+    out = jnp.einsum("rvh,bhwc,ruw->bvuc", mys[idx], x, mxs[idx],
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def zoom_blur_matmul(key, x, severity: int = 3):
+    """MXU form of :func:`fav_tpu.ops.corruptions.zoom_blur`: each
+    resize-to-z + center-crop step is linear, so the whole 8-step pyramid
+    collapses into ONE stacked einsum over precomputed row/col matrices."""
+    from fav_tpu.ops.corruptions import _sev
+    from fav_tpu.ops.image import resize_crop_band
+
+    zmax = _sev([1.11, 1.16, 1.21, 1.26, 1.31], severity)
+    _, h, w, _ = x.shape
+    steps = 8
+    rys, rxs = [], []
+    for i in range(1, steps + 1):
+        z = 1.0 + (zmax - 1.0) * i / steps
+        zh, zw = int(round(h * z)), int(round(w * z))
+        rys.append(resize_crop_band(h, zh, (zh - h) // 2))
+        rxs.append(resize_crop_band(w, zw, (zw - w) // 2))
+    ry = jnp.asarray(np.stack(rys), x.dtype)
+    rx = jnp.asarray(np.stack(rxs), x.dtype)
+    acc = x + jnp.einsum("svh,bhwc,suw->bvuc", ry, x, rx,
+                         precision=jax.lax.Precision.HIGHEST)
+    return jnp.clip(acc / (steps + 1), 0.0, 1.0)
+
+
 def fast_corruption_fn(name: str):
     """Drop-in for :func:`fav_tpu.ops.corruptions.corruption_fn` that routes
     to the Pallas kernel when one exists (measured v5e, batch 2048: gaussian
@@ -456,10 +526,16 @@ def fast_corruption_fn(name: str):
         # takes the jax.random key directly — fields use the oracle's stream,
         # so this route is EXACTLY the jnp cell (max |diff| 0.0 on TPU)
         return elastic_transform_pallas
-    # Remaining families (blur, weather textures, pixelate/jpeg) are
-    # conv-, resize- and DCT-shaped: XLA lowers them onto the MXU directly
-    # (measured <=10 ms per 2048-batch cell, BENCH.md) and a hand Pallas
-    # kernel cannot beat the systolic-array conv it would have to re-derive.
-    # Pallas is reserved for what XLA lowers badly: hardware-PRNG noise and
-    # cross-op fusions with in-kernel reductions (above).
+    if name == "defocus_blur":
+        return defocus_blur_matmul
+    if name == "motion_blur":
+        return motion_blur_matmul
+    if name == "zoom_blur":
+        return zoom_blur_matmul
+    # Remaining families (weather textures, pixelate/jpeg) are resize- and
+    # DCT-shaped (already matmuls) or cheap elementwise chains; the conv
+    # blurs above route to MXU banded-matmul forms instead of depthwise
+    # convs (3-channel 32x32 depthwise conv = VPU scalar work). Pallas is
+    # reserved for what XLA lowers badly: hardware-PRNG noise and cross-op
+    # fusions with in-kernel reductions (above).
     return _jnp_fn(name)

@@ -21,6 +21,9 @@ __all__ = [
     "disk_kernel",
     "motion_kernel",
     "resize_bilinear",
+    "svd_band_factors",
+    "depthwise_conv2d_matmul",
+    "resize_crop_band",
     "bilinear_sample",
     "rgb_to_gray",
     "dct8_matrix",
@@ -126,6 +129,83 @@ def gaussian_blur_matmul(x: jax.Array, sigma: float, radius: int | None = None) 
 
 def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
     return jax.image.resize(x, x.shape[:-3] + (height, width, x.shape[-1]), method="bilinear")
+
+
+# ── MXU banded-matmul forms of the hot spatial filters ─────────────────────
+#
+# The headline megastep is corruption-bound, not forward-bound (measured
+# same-session: full 108 ms vs forward-only 29 ms at batch 6144x15 cells,
+# tools/bench_corruption_share.py), and the conv-blur family is its largest
+# slice. A depthwise conv with a [K, K] PSF over 32x32x3 images keeps the
+# MXU idle (3 channels, tiny spatial dims -> VPU scalar work); expressing
+# the same filter as dense banded H x H / W x W matmuls feeds the systolic
+# array instead — the same trick :func:`gaussian_blur_matmul` plays for the
+# elastic fields, generalized to NON-separable kernels via SVD: K = Σ_r
+# σ_r u_r v_rᵀ, so conv(x, K) = Σ_r (col-blur u_r'…) ∘ (row-blur v_r'…),
+# one stacked einsum over the ranks. Exact up to float reassociation
+# (pinned vs the depthwise oracle by tests/test_corruptions.py).
+
+_BAND_CACHE: dict = {}
+
+
+def _band_matrix_1d(size: int, k: np.ndarray) -> np.ndarray:
+    """Dense [size, size] matrix M with out[v] = Σ_w M[v, w] src[w] equal to
+    VALID *correlation* of the reflect-padded source with 1-D kernel ``k``
+    — exactly :func:`depthwise_conv2d`'s semantics along one axis."""
+    radius = len(k) // 2
+    eye = np.pad(np.eye(size), ((radius, radius), (0, 0)), mode="reflect")
+    cols = [np.correlate(eye[:, w], k.astype(np.float64), mode="valid") for w in range(size)]
+    return np.stack(cols, axis=1)
+
+
+def svd_band_factors(kernel: np.ndarray, h: int, w: int, tol: float = 1e-7):
+    """SVD-separate a [kh, kw] kernel into stacked band matrices
+    (MY [r, h, h], MX [r, w, w]) such that depthwise_conv2d(x, kernel) ==
+    einsum('rvh,bhwc,ruw->bvuc', MY, x, MX). Ranks below ``tol`` of the
+    spectral mass are dropped (disk/motion PSFs are numerically low-rank)."""
+    key = (kernel.tobytes(), kernel.shape, h, w, tol)
+    hit = _BAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    u, s, vt = np.linalg.svd(kernel.astype(np.float64))
+    keep = s > tol * s.sum()
+    u, s, vt = u[:, keep], s[keep], vt[keep]
+    my = np.stack([_band_matrix_1d(h, u[:, i] * np.sqrt(s[i])) for i in range(len(s))])
+    mx = np.stack([_band_matrix_1d(w, vt[i] * np.sqrt(s[i])) for i in range(len(s))])
+    out = (my.astype(np.float32), mx.astype(np.float32))
+    _BAND_CACHE[key] = out
+    return out
+
+
+def depthwise_conv2d_matmul(x: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """MXU form of :func:`depthwise_conv2d` (reflect padding, SAME size):
+    per-channel 2-D correlation as a rank-stacked pair of banded matmuls.
+    ``kernel`` must be a concrete numpy array (PSFs are trace-time static)."""
+    _, h, w, _ = x.shape
+    my, mx = svd_band_factors(np.asarray(kernel), h, w)
+    # HIGHEST: keep f32 filter weights exact on the MXU (default TPU f32
+    # matmul precision is a single bf16 pass); these einsums are HBM-bound,
+    # so the extra passes are ~free
+    return jnp.einsum(
+        "rvh,bhwc,ruw->bvuc", jnp.asarray(my, x.dtype), x, jnp.asarray(mx, x.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def resize_crop_band(size: int, zoomed: int, crop_from: int) -> np.ndarray:
+    """[size, size] matrix R with (R @ src) == center-crop(rows of
+    jax.image.resize(src, zoomed, 'bilinear')) — resize is linear, so its
+    action on the identity IS the matrix, and the crop folds into the rows.
+    Lets zoom_blur's resize+crop pyramid run as stacked matmuls."""
+    eye = np.eye(size, dtype=np.float32)[None, :, :, None]  # [1, size, size, 1]
+    # ensure_compile_time_eval: this runs at trace time on concrete values —
+    # without it jax.image.resize is staged into the caller's jit and the
+    # np.asarray below sees a tracer
+    with jax.ensure_compile_time_eval():
+        r = jax.image.resize(eye, (1, zoomed, size, 1), method="bilinear")
+        r = np.asarray(r[0, crop_from : crop_from + size, :, 0])
+    return r.astype(np.float32)
 
 
 def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:

@@ -103,3 +103,51 @@ def test_pixelate_reduces_unique_blocks():
     # nearest-upsampled image has large constant runs
     diffs = np.abs(np.diff(out, axis=2))
     assert (diffs == 0).mean() > 0.5
+
+
+# ── MXU banded-matmul blur variants (corruptions_pallas) vs the oracles ─────
+# The megastep is corruption-bound (BENCH.md "Corruption-share profile");
+# the conv blurs route to rank-stacked banded matmuls in the fast path.
+# Same key -> same selected kernel, so equivalence is exact up to float
+# reassociation.
+
+@pytest.mark.parametrize("severity", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("name", ["defocus_blur", "motion_blur", "zoom_blur"])
+def test_matmul_blur_matches_oracle(name, severity):
+    from fav_tpu.ops import corruptions
+    from fav_tpu.ops import corruptions_pallas as cp
+
+    oracle = getattr(corruptions, name)
+    fast = getattr(cp, f"{name}_matmul")
+    key = jax.random.PRNGKey(severity * 7 + 1)
+    a = np.asarray(oracle(key, BATCH, severity))
+    b = np.asarray(fast(key, BATCH, severity))
+    assert np.max(np.abs(a - b)) < 3e-6
+
+
+def test_fast_corruption_fn_routes_matmul_blurs():
+    from fav_tpu.ops.corruptions_pallas import (
+        defocus_blur_matmul,
+        fast_corruption_fn,
+        motion_blur_matmul,
+        zoom_blur_matmul,
+    )
+
+    assert fast_corruption_fn("defocus_blur") is defocus_blur_matmul
+    assert fast_corruption_fn("motion_blur") is motion_blur_matmul
+    assert fast_corruption_fn("zoom_blur") is zoom_blur_matmul
+
+
+def test_svd_band_factors_rank_truncation():
+    from fav_tpu.ops.image import depthwise_conv2d, svd_band_factors
+    from fav_tpu.ops.corruptions import _disk
+
+    disk = np.asarray(_disk(6, 0.5))
+    my, mx = svd_band_factors(disk, 32, 32)
+    # the disk PSF is numerically low-rank: far fewer factors than its size
+    assert my.shape[0] == mx.shape[0] < disk.shape[0]
+    # and the truncated expansion still reproduces the depthwise conv
+    from fav_tpu.ops.image import depthwise_conv2d_matmul
+    ref = depthwise_conv2d(BATCH, jnp.asarray(disk))
+    out = depthwise_conv2d_matmul(BATCH, disk)
+    assert float(jnp.max(jnp.abs(ref - out))) < 3e-6
