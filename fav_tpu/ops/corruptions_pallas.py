@@ -334,11 +334,14 @@ def glass_blur_pallas(seed, x, severity: int = 3, interpret: bool = False):
     — that is the MXU-correct tool; Pallas replaces only the PRNG-driven
     select cascade XLA lowers badly (HBM randint field + 75 masked windows)."""
     sigma, m, iters = GLASS_PARAMS[severity - 1]
-    from fav_tpu.ops.image import gaussian_blur
+    from fav_tpu.ops.image import gaussian_blur_matmul
 
-    y = gaussian_blur(x.astype(jnp.float32), sigma)
+    # banded-matmul blur, not a depthwise conv: 3-channel 32x32 depthwise
+    # convs are VPU scalar work (same finding as the defocus/motion/zoom
+    # rewrites below); bitwise-equal to gaussian_blur up to reassociation
+    y = gaussian_blur_matmul(x.astype(jnp.float32), sigma)
     y = glass_resample_pallas(seed, y, m, iters, interpret)
-    return jnp.clip(gaussian_blur(y, sigma), 0.0, 1.0)
+    return jnp.clip(gaussian_blur_matmul(y, sigma), 0.0, 1.0)
 
 
 _ELASTIC_BLOCK = 8  # images per grid step for the elastic warp kernel
@@ -502,6 +505,40 @@ def zoom_blur_matmul(key, x, severity: int = 3):
     return jnp.clip(acc / (steps + 1), 0.0, 1.0)
 
 
+def snow_matmul(key, x, severity: int = 3):
+    """MXU form of :func:`fav_tpu.ops.corruptions.snow`: the flake layer's
+    zoom-resize + top-left crop runs as band matmuls and the diagonal streak
+    conv (1-channel — the worst depthwise-conv degeneration) as
+    rank-stacked matmuls. Same keys, same math."""
+    from fav_tpu.ops.corruptions import _clip, _motion, _sev
+    from fav_tpu.ops.image import depthwise_conv2d_matmul, resize_crop_band, rgb_to_gray
+
+    loc, scale, zoom, thresh, blur_sigma, blend = _sev(
+        [
+            (0.1, 0.3, 1.6, 0.55, 2.0, 0.8),
+            (0.2, 0.3, 1.8, 0.55, 2.0, 0.7),
+            (0.55, 0.3, 2.0, 0.55, 2.5, 0.65),
+            (0.55, 0.3, 2.0, 0.50, 3.0, 0.6),
+            (0.55, 0.3, 2.2, 0.50, 3.5, 0.55),
+        ],
+        severity,
+    )
+    _, h, w, _ = x.shape
+    k1, _ = jax.random.split(key)
+    layer = loc + scale * jax.random.normal(k1, (x.shape[0], h, w, 1), x.dtype)
+    zh, zw = int(h * zoom), int(w * zoom)
+    ry = jnp.asarray(resize_crop_band(h, zh, 0), x.dtype)   # rows [:h] of the zoomed layer
+    rx = jnp.asarray(resize_crop_band(w, zw, 0), x.dtype)
+    layer = jnp.einsum("vh,bhwc,uw->bvuc", ry, layer, rx,
+                       precision=jax.lax.Precision.HIGHEST)
+    layer = jnp.where(layer < thresh, 0.0, layer)
+    layer = _clip(depthwise_conv2d_matmul(layer, _motion(9, blur_sigma, -60.0)))
+    gray = rgb_to_gray(x)
+    darkened = jnp.maximum(x, gray * 1.5 + 0.5)
+    base = blend * x + (1.0 - blend) * darkened
+    return _clip(base + layer + jnp.flip(layer, axis=(1, 2)) * 0.5)
+
+
 def fast_corruption_fn(name: str):
     """Drop-in for :func:`fav_tpu.ops.corruptions.corruption_fn` that routes
     to the Pallas kernel when one exists (measured v5e, batch 2048: gaussian
@@ -532,6 +569,8 @@ def fast_corruption_fn(name: str):
         return motion_blur_matmul
     if name == "zoom_blur":
         return zoom_blur_matmul
+    if name == "snow":
+        return snow_matmul
     # Remaining families (weather textures, pixelate/jpeg) are resize- and
     # DCT-shaped (already matmuls) or cheap elementwise chains; the conv
     # blurs above route to MXU banded-matmul forms instead of depthwise
