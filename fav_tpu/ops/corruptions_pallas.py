@@ -539,6 +539,61 @@ def snow_matmul(key, x, severity: int = 3):
     return _clip(base + layer + jnp.flip(layer, axis=(1, 2)) * 0.5)
 
 
+def _turbulence_matmul(key, batch, h, w, dtype, octaves, persistence):
+    """MXU form of :func:`fav_tpu.ops.corruptions._turbulence`: each octave's
+    bilinear upsample [B, r, r, 1] -> [B, h, w, 1] runs as a pair of
+    rectangular band matmuls instead of jax.image.resize's gather lowering.
+    Same key schedule, same math."""
+    from fav_tpu.ops.image import resize_band
+
+    total = jnp.zeros((batch, h, w, 1), dtype)
+    amp, norm = 1.0, 0.0
+    for o in range(octaves):
+        key, k = jax.random.split(key)
+        res = max(2, 2 ** (o + 1))
+        ch, cw = min(res, h), min(res, w)
+        coarse = jax.random.uniform(k, (batch, ch, cw, 1), dtype)
+        ry = jnp.asarray(resize_band(h, ch), dtype)
+        rx = jnp.asarray(resize_band(w, cw), dtype)
+        total = total + amp * jnp.einsum(
+            "vh,bhwc,uw->bvuc", ry, coarse, rx, precision=jax.lax.Precision.HIGHEST
+        )
+        norm += amp
+        amp *= persistence
+    return total / norm
+
+
+def fog_matmul(key, x, severity: int = 3):
+    """MXU form of :func:`fav_tpu.ops.corruptions.fog` (turbulence octaves as
+    band matmuls; the plasma normalization and blend are unchanged)."""
+    from fav_tpu.ops.corruptions import _clip, _sev
+
+    strength, decay = _sev(
+        [(1.5, 2.0), (2.0, 2.0), (2.5, 1.7), (2.5, 1.5), (3.0, 1.4)], severity
+    )
+    b, h, w, _ = x.shape
+    plasma = _turbulence_matmul(key, b, h, w, x.dtype, octaves=5, persistence=1.0 / decay)
+    plasma = plasma - jnp.min(plasma, axis=(1, 2, 3), keepdims=True)
+    plasma = plasma / (jnp.max(plasma, axis=(1, 2, 3), keepdims=True) + 1e-6)
+    maxval = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+    out = x + strength * plasma
+    return _clip(out * maxval / (maxval + strength))
+
+
+def frost_matmul(key, x, severity: int = 3):
+    """MXU form of :func:`fav_tpu.ops.corruptions.frost` (turbulence octaves
+    as band matmuls; crystalline banding and composite are unchanged)."""
+    from fav_tpu.ops.corruptions import _clip, _sev
+
+    img_w, frost_w = _sev(
+        [(1.0, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75)], severity
+    )
+    b, h, w, _ = x.shape
+    tex = _turbulence_matmul(key, b, h, w, x.dtype, octaves=5, persistence=0.7)
+    tex = jnp.abs(jnp.sin(tex * 9.0)) ** 2
+    return _clip(img_w * x + frost_w * tex)
+
+
 def fast_corruption_fn(name: str):
     """Drop-in for :func:`fav_tpu.ops.corruptions.corruption_fn` that routes
     to the Pallas kernel when one exists (measured v5e, batch 2048: gaussian
@@ -571,6 +626,10 @@ def fast_corruption_fn(name: str):
         return zoom_blur_matmul
     if name == "snow":
         return snow_matmul
+    if name == "fog":
+        return fog_matmul
+    if name == "frost":
+        return frost_matmul
     # Remaining families (weather textures, pixelate/jpeg) are resize- and
     # DCT-shaped (already matmuls) or cheap elementwise chains; the conv
     # blurs above route to MXU banded-matmul forms instead of depthwise

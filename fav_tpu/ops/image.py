@@ -208,6 +208,20 @@ def resize_crop_band(size: int, zoomed: int, crop_from: int) -> np.ndarray:
     return r.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def resize_band(out_size: int, in_size: int, method: str = "bilinear") -> np.ndarray:
+    """[out_size, in_size] matrix R with (R @ src) == jax.image.resize of the
+    rows from in_size to out_size — the rectangular generalization of
+    :func:`resize_crop_band` (same identity-action trick; resize is linear
+    per axis, so `Ry @ X @ Rxᵀ` reproduces the 2-D resize exactly). Lets
+    the `_turbulence` octave upsamples (fog/frost) run as MXU matmuls."""
+    eye = np.eye(in_size, dtype=np.float32)[None, :, :, None]
+    with jax.ensure_compile_time_eval():
+        r = jax.image.resize(eye, (1, out_size, in_size, 1), method=method)
+        r = np.asarray(r[0, :, :, 0])
+    return r.astype(np.float32)
+
+
 def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     """Sample img[H,W,C] at float coords (ys, xs) [H,W] with edge clamping."""
     h, w = img.shape[0], img.shape[1]

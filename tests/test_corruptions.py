@@ -112,7 +112,9 @@ def test_pixelate_reduces_unique_blocks():
 # reassociation.
 
 @pytest.mark.parametrize("severity", [1, 2, 3, 4, 5])
-@pytest.mark.parametrize("name", ["defocus_blur", "motion_blur", "zoom_blur"])
+@pytest.mark.parametrize(
+    "name", ["defocus_blur", "motion_blur", "zoom_blur", "snow", "fog", "frost"]
+)
 def test_matmul_blur_matches_oracle(name, severity):
     from fav_tpu.ops import corruptions
     from fav_tpu.ops import corruptions_pallas as cp

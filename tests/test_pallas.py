@@ -123,8 +123,8 @@ def test_fast_corruption_fn_fallback():
     """Non-accelerated names route to the identical jnp implementation."""
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3), jnp.float32)
     key = jax.random.PRNGKey(3)
-    got = fast_corruption_fn("fog")(key, x, 2)
-    want = corruption_fn("fog")(key, x, 2)
+    got = fast_corruption_fn("pixelate")(key, x, 2)
+    want = corruption_fn("pixelate")(key, x, 2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
