@@ -86,6 +86,26 @@ DRAWS: dict[int, tuple[int, SyntheticRecipe]] = {
         bright_test_shift=0.06, noise_base=0.04, noise_train=0.02,
         noise_test=0.04, occl_prob=0.20, label_noise=0.01,
     )),
+    # Draws 3/4 are HELD-OUT validation draws for the shipped production
+    # preset (round 5): the std+nano gated pairing was *selected* on draws
+    # 0-2, so its safety claim needs draws it never saw — bars pre-registered
+    # in measurements/r5/preset_prereg.md BEFORE these recipes were first
+    # trained on. Defined, like 1/2, by changing the generator seed AND the
+    # generative recipe together.
+    3: (303, SyntheticRecipe(
+        freq_lo=1.8, freq_hi=6.0, texture_rot=3, disk_r0=0.045, disk_rk=0.03,
+        jitter_scale=0.50, blend_max=0.55, contrast_train=0.40,
+        contrast_test_lo=0.35, contrast_test_hi=0.40, bright_sigma=0.09,
+        bright_test_shift=-0.05, noise_base=0.025, noise_train=0.05,
+        noise_test=0.07, occl_prob=0.45, label_noise=0.035,
+    )),
+    4: (404, SyntheticRecipe(
+        freq_lo=2.8, freq_hi=3.6, texture_rot=1, disk_r0=0.07, disk_rk=0.012,
+        jitter_scale=0.20, blend_max=0.75, contrast_train=0.20,
+        contrast_test_lo=0.50, contrast_test_hi=0.15, bright_sigma=0.04,
+        bright_test_shift=0.08, noise_base=0.045, noise_train=0.015,
+        noise_test=0.035, occl_prob=0.15, label_noise=0.005,
+    )),
 }
 
 

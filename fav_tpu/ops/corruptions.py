@@ -43,6 +43,8 @@ from fav_tpu.ops.image import (
 )
 
 __all__ = ["CORRUPTION_NAMES", "SEVERITIES", "apply_corruption", "corruption_fn"]
+# severity tables (shared with corruptions_pallas — see block below) are
+# importable but not re-exported via *
 
 SEVERITIES = (1, 2, 3, 4, 5)
 
@@ -55,20 +57,46 @@ def _clip(x):
     return jnp.clip(x, 0.0, 1.0)
 
 
+# ── severity tables ──────────────────────────────────────────────────────────
+# Single source of truth for BOTH this oracle module and the fast-path forms
+# in :mod:`fav_tpu.ops.corruptions_pallas` (Pallas kernels + MXU matmul
+# variants import these): an edit to one table cannot silently diverge the
+# fast path from the oracle (ADVICE r4). Values follow Hendrycks & Dietterich
+# (2019) where procedurally feasible (module docstring).
+GAUSSIAN_SIGMA = (0.08, 0.12, 0.18, 0.26, 0.38)
+SHOT_C = (60.0, 25.0, 12.0, 5.0, 3.0)
+IMPULSE_AMOUNT = (0.03, 0.06, 0.09, 0.17, 0.27)
+DEFOCUS_SEV = ((3, 0.1), (4, 0.5), (6, 0.5), (8, 0.5), (10, 0.5))
+GLASS_SEV = ((0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2))
+MOTION_SEV = ((7, 3.0), (9, 5.0), (11, 7.0), (13, 9.0), (15, 12.0))
+ZOOM_ZMAX = (1.11, 1.16, 1.21, 1.26, 1.31)
+FOG_SEV = ((1.5, 2.0), (2.0, 2.0), (2.5, 1.7), (2.5, 1.5), (3.0, 1.4))
+FROST_SEV = ((1.0, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75))
+SNOW_SEV = (
+    (0.1, 0.3, 1.6, 0.55, 2.0, 0.8),
+    (0.2, 0.3, 1.8, 0.55, 2.0, 0.7),
+    (0.55, 0.3, 2.0, 0.55, 2.5, 0.65),
+    (0.55, 0.3, 2.0, 0.50, 3.0, 0.6),
+    (0.55, 0.3, 2.2, 0.50, 3.5, 0.55),
+)
+BRIGHTNESS_C = (0.1, 0.2, 0.3, 0.4, 0.5)
+CONTRAST_C = (0.4, 0.3, 0.2, 0.1, 0.05)
+
+
 # ── noise family ───────────────────────────────────────────────────────────
 
 def gaussian_noise(key, x, severity: int):
-    sigma = _sev([0.08, 0.12, 0.18, 0.26, 0.38], severity)
+    sigma = _sev(GAUSSIAN_SIGMA, severity)
     return _clip(x + sigma * jax.random.normal(key, x.shape, x.dtype))
 
 
 def shot_noise(key, x, severity: int):
-    c = _sev([60.0, 25.0, 12.0, 5.0, 3.0], severity)
+    c = _sev(SHOT_C, severity)
     return _clip(jax.random.poisson(key, x * c, x.shape).astype(x.dtype) / c)
 
 
 def impulse_noise(key, x, severity: int):
-    amount = _sev([0.03, 0.06, 0.09, 0.17, 0.27], severity)
+    amount = _sev(IMPULSE_AMOUNT, severity)
     k1, k2 = jax.random.split(key)
     u = jax.random.uniform(k1, x.shape, x.dtype)
     salt = u < amount / 2
@@ -84,7 +112,7 @@ def _disk(radius, alias):
 
 
 def defocus_blur(key, x, severity: int):
-    radius, alias = _sev([(3, 0.1), (4, 0.5), (6, 0.5), (8, 0.5), (10, 0.5)], severity)
+    radius, alias = _sev(DEFOCUS_SEV, severity)
     return _clip(depthwise_conv2d(x, jnp.asarray(_disk(radius, alias))))
 
 
@@ -110,9 +138,7 @@ def glass_blur(key, x, severity: int):
     """Gaussian blur + iterated random neighbor displacement (random local
     resampling — the canonical per-pixel swap loop has no SPMD form; this is
     the standard vectorized approximation)."""
-    sigma, max_delta, iters = _sev(
-        [(0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2)], severity
-    )
+    sigma, max_delta, iters = _sev(GLASS_SEV, severity)
     x = gaussian_blur(x, sigma)
     for i in range(iters):
         key, k = jax.random.split(key)
@@ -128,7 +154,7 @@ def _motion(length, sigma, angle):
 def motion_blur(key, x, severity: int):
     """Directional streak. The streak angle is drawn per batch from the key
     (the canonical benchmark samples an angle per image)."""
-    length, sigma = _sev([(7, 3.0), (9, 5.0), (11, 7.0), (13, 9.0), (15, 12.0)], severity)
+    length, sigma = _sev(MOTION_SEV, severity)
     angles = np.linspace(-45.0, 45.0, 8)
     kernels = jnp.stack([jnp.asarray(_motion(length, sigma, a)) for a in angles])
     idx = jax.random.randint(key, (), 0, len(angles))
@@ -144,7 +170,7 @@ def motion_blur(key, x, severity: int):
 
 
 def zoom_blur(key, x, severity: int):
-    zmax = _sev([1.11, 1.16, 1.21, 1.26, 1.31], severity)
+    zmax = _sev(ZOOM_ZMAX, severity)
     b, h, w, c = x.shape
     steps = 8
     acc = x
@@ -174,9 +200,7 @@ def _turbulence(key, batch, h, w, dtype, octaves=4, persistence=0.6):
 
 
 def fog(key, x, severity: int):
-    strength, decay = _sev(
-        [(1.5, 2.0), (2.0, 2.0), (2.5, 1.7), (2.5, 1.5), (3.0, 1.4)], severity
-    )
+    strength, decay = _sev(FOG_SEV, severity)
     b, h, w, _ = x.shape
     plasma = _turbulence(key, b, h, w, x.dtype, octaves=5, persistence=1.0 / decay)
     plasma = plasma - jnp.min(plasma, axis=(1, 2, 3), keepdims=True)
@@ -190,9 +214,7 @@ def frost(key, x, severity: int):
     """Procedural frost: sharp banded value-noise crystals composited over the
     image (the canonical benchmark pastes photos of frosted glass; this uses
     an on-device texture of equivalent statistics)."""
-    img_w, frost_w = _sev(
-        [(1.0, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75)], severity
-    )
+    img_w, frost_w = _sev(FROST_SEV, severity)
     b, h, w, _ = x.shape
     tex = _turbulence(key, b, h, w, x.dtype, octaves=5, persistence=0.7)
     tex = jnp.abs(jnp.sin(tex * 9.0)) ** 2  # crystalline banding
@@ -200,16 +222,7 @@ def frost(key, x, severity: int):
 
 
 def snow(key, x, severity: int):
-    loc, scale, zoom, thresh, blur_sigma, blend = _sev(
-        [
-            (0.1, 0.3, 1.6, 0.55, 2.0, 0.8),
-            (0.2, 0.3, 1.8, 0.55, 2.0, 0.7),
-            (0.55, 0.3, 2.0, 0.55, 2.5, 0.65),
-            (0.55, 0.3, 2.0, 0.50, 3.0, 0.6),
-            (0.55, 0.3, 2.2, 0.50, 3.5, 0.55),
-        ],
-        severity,
-    )
+    loc, scale, zoom, thresh, blur_sigma, blend = _sev(SNOW_SEV, severity)
     b, h, w, _ = x.shape
     k1, k2 = jax.random.split(key)
     layer = loc + scale * jax.random.normal(k1, (b, h, w, 1), x.dtype)
@@ -229,12 +242,12 @@ def snow(key, x, severity: int):
 # ── digital family ─────────────────────────────────────────────────────────
 
 def brightness(key, x, severity: int):
-    c = _sev([0.1, 0.2, 0.3, 0.4, 0.5], severity)
+    c = _sev(BRIGHTNESS_C, severity)
     return _clip(x + c)
 
 
 def contrast(key, x, severity: int):
-    c = _sev([0.4, 0.3, 0.2, 0.1, 0.05], severity)
+    c = _sev(CONTRAST_C, severity)
     mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
     return _clip((x - mean) * c + mean)
 

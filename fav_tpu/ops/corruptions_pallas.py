@@ -46,12 +46,23 @@ __all__ = [
     "SHOT_C",
 ]
 
-# severity tables — MUST match fav_tpu.ops.corruptions (the oracle)
-GAUSSIAN_SIGMA = (0.08, 0.12, 0.18, 0.26, 0.38)
-IMPULSE_AMOUNT = (0.03, 0.06, 0.09, 0.17, 0.27)
-SHOT_C = (60.0, 25.0, 12.0, 5.0, 3.0)
-BRIGHTNESS_C = (0.1, 0.2, 0.3, 0.4, 0.5)
-CONTRAST_C = (0.4, 0.3, 0.2, 0.1, 0.05)
+# severity tables — imported from the oracle module so the fast path reads
+# the SAME data (ADVICE r4: a local copy could silently diverge between the
+# sampled parity tests)
+from fav_tpu.ops.corruptions import (  # noqa: E402 — after pallas imports
+    BRIGHTNESS_C,
+    CONTRAST_C,
+    DEFOCUS_SEV,
+    FOG_SEV,
+    FROST_SEV,
+    GAUSSIAN_SIGMA,
+    GLASS_SEV,
+    IMPULSE_AMOUNT,
+    MOTION_SEV,
+    SHOT_C,
+    SNOW_SEV,
+    ZOOM_ZMAX,
+)
 
 _BLOCK = 128  # images per grid step: 128*32*32*3*4B = 1.5 MB in VMEM
 # (in+out double-buffered plus PRNG intermediates lands ~6 buffers of block
@@ -242,8 +253,8 @@ def contrast_pallas(seed, x, severity: int = 3, interpret: bool = False):
     return _grid_call(k, x, seed, interpret)
 
 
-# glass_blur severity table — MUST match corruptions.glass_blur
-GLASS_PARAMS = ((0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3), (1.1, 3, 2), (1.5, 4, 2))
+# glass_blur severity table — alias of the oracle's (single source of truth)
+GLASS_PARAMS = GLASS_SEV
 
 _GLASS_BLOCK = 32  # images per grid step, planar (nb, C, H, W) blocks
 
@@ -453,7 +464,7 @@ def defocus_blur_matmul(key, x, severity: int = 3):
     from fav_tpu.ops.corruptions import _disk, _sev
     from fav_tpu.ops.image import depthwise_conv2d_matmul
 
-    radius, alias = _sev([(3, 0.1), (4, 0.5), (6, 0.5), (8, 0.5), (10, 0.5)], severity)
+    radius, alias = _sev(DEFOCUS_SEV, severity)
     return jnp.clip(depthwise_conv2d_matmul(x, _disk(radius, alias)), 0.0, 1.0)
 
 
@@ -465,7 +476,7 @@ def motion_blur_matmul(key, x, severity: int = 3):
     from fav_tpu.ops.corruptions import _motion, _sev
     from fav_tpu.ops.image import svd_band_factors
 
-    length, sigma = _sev([(7, 3.0), (9, 5.0), (11, 7.0), (13, 9.0), (15, 12.0)], severity)
+    length, sigma = _sev(MOTION_SEV, severity)
     _, h, w, _ = x.shape
     angles = np.linspace(-45.0, 45.0, 8)
     factors = [svd_band_factors(_motion(length, sigma, a), h, w) for a in angles]
@@ -489,7 +500,7 @@ def zoom_blur_matmul(key, x, severity: int = 3):
     from fav_tpu.ops.corruptions import _sev
     from fav_tpu.ops.image import resize_crop_band
 
-    zmax = _sev([1.11, 1.16, 1.21, 1.26, 1.31], severity)
+    zmax = _sev(ZOOM_ZMAX, severity)
     _, h, w, _ = x.shape
     steps = 8
     rys, rxs = [], []
@@ -513,16 +524,7 @@ def snow_matmul(key, x, severity: int = 3):
     from fav_tpu.ops.corruptions import _clip, _motion, _sev
     from fav_tpu.ops.image import depthwise_conv2d_matmul, resize_crop_band, rgb_to_gray
 
-    loc, scale, zoom, thresh, blur_sigma, blend = _sev(
-        [
-            (0.1, 0.3, 1.6, 0.55, 2.0, 0.8),
-            (0.2, 0.3, 1.8, 0.55, 2.0, 0.7),
-            (0.55, 0.3, 2.0, 0.55, 2.5, 0.65),
-            (0.55, 0.3, 2.0, 0.50, 3.0, 0.6),
-            (0.55, 0.3, 2.2, 0.50, 3.5, 0.55),
-        ],
-        severity,
-    )
+    loc, scale, zoom, thresh, blur_sigma, blend = _sev(SNOW_SEV, severity)
     _, h, w, _ = x.shape
     k1, _ = jax.random.split(key)
     layer = loc + scale * jax.random.normal(k1, (x.shape[0], h, w, 1), x.dtype)
@@ -568,9 +570,7 @@ def fog_matmul(key, x, severity: int = 3):
     band matmuls; the plasma normalization and blend are unchanged)."""
     from fav_tpu.ops.corruptions import _clip, _sev
 
-    strength, decay = _sev(
-        [(1.5, 2.0), (2.0, 2.0), (2.5, 1.7), (2.5, 1.5), (3.0, 1.4)], severity
-    )
+    strength, decay = _sev(FOG_SEV, severity)
     b, h, w, _ = x.shape
     plasma = _turbulence_matmul(key, b, h, w, x.dtype, octaves=5, persistence=1.0 / decay)
     plasma = plasma - jnp.min(plasma, axis=(1, 2, 3), keepdims=True)
@@ -585,9 +585,7 @@ def frost_matmul(key, x, severity: int = 3):
     as band matmuls; crystalline banding and composite are unchanged)."""
     from fav_tpu.ops.corruptions import _clip, _sev
 
-    img_w, frost_w = _sev(
-        [(1.0, 0.4), (0.8, 0.6), (0.7, 0.7), (0.65, 0.7), (0.6, 0.75)], severity
-    )
+    img_w, frost_w = _sev(FROST_SEV, severity)
     b, h, w, _ = x.shape
     tex = _turbulence_matmul(key, b, h, w, x.dtype, octaves=5, persistence=0.7)
     tex = jnp.abs(jnp.sin(tex * 9.0)) ** 2

@@ -23,6 +23,7 @@ __all__ = [
     "resize_bilinear",
     "svd_band_factors",
     "depthwise_conv2d_matmul",
+    "resize_band",
     "resize_crop_band",
     "bilinear_sample",
     "rgb_to_gray",

@@ -1,0 +1,80 @@
+#!/bin/bash
+# Round-5 pre-registered validation runs (measurements/r5/preset_prereg.md).
+#
+# Part A — held-out draws 3/4 (bars frozen BEFORE training): per draw, train
+# the exact shipped recipes from scratch (teacher ensemble -> nano student and
+# std student; occl comparator) and grid the shipped preset pairing
+# (std predictor + nano monitor) next to the occl pairing.
+#
+# Part B — secondary arm on the selection draws 0/1/2: an independent-seed
+# standardized monitor (student_std2, seed 1) under the std predictor, to
+# MEASURE the std+std2 pairing that round 4 rejected on argument.
+#
+# Usage: tools/run_heldout.sh A        # draws 3 and 4 (part A)
+#        tools/run_heldout.sh B        # std2 monitors on draws 0/1/2 (part B)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+run_draw() {
+  local d=$1
+  export FAV_SYNTH_DRAW=$d
+  local R=measurements/r5/draw$d
+  mkdir -p "$R"
+  echo "=== draw $d: teacher ensemble"
+  python -m fav_tpu.models.pretrain --ensemble 5 --steps 2000 --megastep 100 \
+    --out "$R/ensemble" > "$R/train_ensemble.log" 2>&1
+  echo "=== draw $d: AugMix-KD nano student (monitor)"
+  python -m fav_tpu.models.pretrain --distill-ensemble --augmix \
+    --widths 16,32,64 --steps 3000 --megastep 100 \
+    --teacher "$R/ensemble" --out "$R/student_nano" > "$R/train_student.log" 2>&1
+  echo "=== draw $d: standardized AugMix-KD nano student (predictor)"
+  python -m fav_tpu.models.pretrain --distill-ensemble --augmix --standardize \
+    --widths 16,32,64 --steps 3000 --megastep 100 \
+    --teacher "$R/ensemble" --out "$R/student_std" > "$R/train_student_std.log" 2>&1
+  echo "=== draw $d: occlusion classifier (comparator)"
+  python -m fav_tpu.models.pretrain --occlude --steps 3000 --megastep 100 \
+    --out "$R/classifier_occl" > "$R/train_occl.log" 2>&1
+  echo "=== draw $d: grids"
+  python -m fav_tpu.models.evaluate --checkpoint "$R/student_nano" \
+    --out "$R/grid_student.json" > "$R/eval_student.log" 2>&1
+  python -m fav_tpu.models.evaluate --checkpoint "$R/classifier_occl" \
+    --out "$R/grid_occl.json" > "$R/eval_occl.log" 2>&1
+  # the SHIPPED preset pairing: std predictor min-gated by nano monitor
+  python -m fav_tpu.models.evaluate --checkpoint "$R/student_std" \
+    --monitor "$R/student_nano" \
+    --out "$R/grid_std_gated.json" > "$R/eval_std_gated.log" 2>&1
+  # comparator pairing for bar 3
+  python -m fav_tpu.models.evaluate --checkpoint "$R/classifier_occl" \
+    --monitor "$R/student_nano" \
+    --out "$R/grid_occl_gated.json" > "$R/eval_occl_gated.log" 2>&1
+  echo "=== draw $d done"
+}
+
+run_std2() {
+  local d=$1 teacher=$2 std=$3
+  export FAV_SYNTH_DRAW=$d
+  local R=measurements/r5/std2_draw$d
+  mkdir -p "$R"
+  echo "=== draw $d: independent-seed standardized monitor (seed 1)"
+  python -m fav_tpu.models.pretrain --distill-ensemble --augmix --standardize \
+    --widths 16,32,64 --steps 3000 --megastep 100 --seed 1 \
+    --teacher "$teacher" --out "$R/student_std2" > "$R/train_std2.log" 2>&1
+  echo "=== draw $d: std+std2 gated grid"
+  python -m fav_tpu.models.evaluate --checkpoint "$std" \
+    --monitor "$R/student_std2" \
+    --out "$R/grid_std_std2.json" > "$R/eval_std_std2.log" 2>&1
+}
+
+case "${1:-A}" in
+  A)
+    run_draw 3
+    run_draw 4
+    echo "PART A DONE"
+    ;;
+  B)
+    run_std2 0 fav_tpu/checkpoints/ensemble fav_tpu/checkpoints/student_std
+    run_std2 1 measurements/r4/draw1/ensemble measurements/r4/draw1/student_std
+    run_std2 2 measurements/r4/draw2/ensemble measurements/r4/draw2/student_std
+    echo "PART B DONE"
+    ;;
+esac
