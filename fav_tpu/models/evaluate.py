@@ -242,11 +242,12 @@ def _evaluate_checkpoint(ckpt, args, ds, images, labels, monitor, parser) -> dic
             for m in ("auroc", "auroc_energy", "aupr", "fpr_at_95"):
                 out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
             for m in ("auroc_self", "auroc_gated", "auroc_mi", "auroc_vote",
-                      "auroc_maha", "auroc_rmd"):
+                      "auroc_maha", "auroc_rmd", "auroc_l1", "auroc_composed"):
                 if all(m in c for c in with_fail):
                     out[m] = round(sum(c[m] for c in with_fail) / len(with_fail), 4)
         for m in ("ece_self", "ece_gated", "mean_mi", "ece_vote", "mean_agreement",
-                  "mean_maha", "mean_rmd"):
+                  "mean_maha", "mean_rmd", "l1_flag_rate", "l1_mean_anomaly",
+                  "mean_anomaly_composed"):
             if all(m in c for c in cells.values()):
                 out[m] = round(sum(c[m] for c in cells.values()) / len(cells), 4)
         if all("coverage" in c for c in cells.values()):
@@ -255,6 +256,30 @@ def _evaluate_checkpoint(ckpt, args, ds, images, labels, monitor, parser) -> dic
         return out
 
     per_corruption = {name: agg(cells) for name, cells in grid.items()}
+
+    # defense-in-depth accounting, computed BY the evaluation itself (VERDICT
+    # r4 missing #3): cells the deployment is confidently wrong on (accuracy
+    # < 0.30 at operative confidence > 0.60 — tools/multidraw_report.py
+    # thresholds), split by whether the L1 analyzer majority-flags them.
+    # An UNFLAGGED confident-wrong cell is the composed system's true blind
+    # spot — neither the model's own confidence nor the model-independent
+    # perception layer sees the failure.
+    confident_wrong: list[dict] = []
+    for name, cells in grid.items():
+        for sev, c in cells.items():
+            op_conf = c.get("mean_confidence_gated", c["mean_confidence"])
+            if c["accuracy"] < 0.30 and op_conf > 0.60:
+                confident_wrong.append({
+                    "cell": f"{name}/{sev}",
+                    "accuracy": round(c["accuracy"], 4),
+                    "confidence": round(op_conf, 4),
+                    "l1_flag_rate": round(c.get("l1_flag_rate", float("nan")), 4),
+                    "l1_mean_anomaly": round(c.get("l1_mean_anomaly", float("nan")), 4),
+                })
+    unflagged = [
+        r for r in confident_wrong
+        if not (r["l1_flag_rate"] == r["l1_flag_rate"] and r["l1_flag_rate"] >= 0.5)
+    ]
 
     def overall_mean(metric):
         vals = [v[metric] for v in per_corruption.values() if v.get(metric) is not None]
@@ -292,6 +317,13 @@ def _evaluate_checkpoint(ckpt, args, ds, images, labels, monitor, parser) -> dic
         "mean_fpr_at_95": overall_mean("fpr_at_95"),
         "mean_ece": overall_mean("ece"),
         "mean_brier": overall_mean("brier"),
+        # first-class L1 analyzer columns (parallel/sweep.py:_l1_rows) +
+        # the defense-in-depth account the side tool used to compute
+        "mean_l1_flag_rate": overall_mean("l1_flag_rate"),
+        "mean_failure_auroc_l1": overall_mean("auroc_l1"),
+        "mean_failure_auroc_composed": overall_mean("auroc_composed"),
+        "confident_wrong_cells": confident_wrong,
+        "unflagged_confident_wrong_cells": unflagged,
         "devices": jax.device_count(),
         "data_source": ds.source,
         **({"tta_views": args.tta} if args.tta > 1 else {}),

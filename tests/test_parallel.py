@@ -124,7 +124,12 @@ def test_fused_sweep_matches_per_cell(model_and_params):
         ref = sweep_cell(
             n, model.apply, params, x, y, jax.random.fold_in(key, i), s, 1.7
         )
-        for metric in ("accuracy", "mean_confidence", "auroc", "aupr", "fpr_at_95"):
+        for metric in ("accuracy", "mean_confidence", "auroc", "aupr", "fpr_at_95",
+                       # first-class L1 analyzer columns (sweep._l1_rows) must
+                       # agree across dispatch granularities like every other
+                       # metric — same corrupted batch, same analyzer pass
+                       "l1_flag_rate", "l1_mean_anomaly", "auroc_l1",
+                       "mean_anomaly_composed", "auroc_composed"):
             assert float(ref[metric]) == pytest.approx(got[n][s][metric], abs=3e-5), (n, s, metric)
 
 

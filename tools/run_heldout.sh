@@ -20,30 +20,43 @@ run_draw() {
   export FAV_SYNTH_DRAW=$d
   local R=measurements/r5/draw$d
   mkdir -p "$R"
-  echo "=== draw $d: teacher ensemble"
-  python -m fav_tpu.models.pretrain --ensemble 5 --steps 2000 --megastep 100 \
-    --out "$R/ensemble" > "$R/train_ensemble.log" 2>&1
-  echo "=== draw $d: AugMix-KD nano student (monitor)"
-  python -m fav_tpu.models.pretrain --distill-ensemble --augmix \
-    --widths 16,32,64 --steps 3000 --megastep 100 \
-    --teacher "$R/ensemble" --out "$R/student_nano" > "$R/train_student.log" 2>&1
-  echo "=== draw $d: standardized AugMix-KD nano student (predictor)"
-  python -m fav_tpu.models.pretrain --distill-ensemble --augmix --standardize \
-    --widths 16,32,64 --steps 3000 --megastep 100 \
-    --teacher "$R/ensemble" --out "$R/student_std" > "$R/train_student_std.log" 2>&1
-  echo "=== draw $d: occlusion classifier (comparator)"
-  python -m fav_tpu.models.pretrain --occlude --steps 3000 --megastep 100 \
-    --out "$R/classifier_occl" > "$R/train_occl.log" 2>&1
+  # every stage is skip-if-done so an interrupted run resumes cleanly
+  if [ ! -f "$R/ensemble/metadata.json" ]; then
+    echo "=== draw $d: teacher ensemble"
+    python -m fav_tpu.models.pretrain --ensemble 5 --steps 2000 --megastep 100 \
+      --out "$R/ensemble" > "$R/train_ensemble.log" 2>&1
+  fi
+  if [ ! -f "$R/student_nano/metadata.json" ]; then
+    echo "=== draw $d: AugMix-KD nano student (monitor)"
+    python -m fav_tpu.models.pretrain --distill-ensemble --augmix \
+      --widths 16,32,64 --steps 3000 --megastep 100 \
+      --teacher "$R/ensemble" --out "$R/student_nano" > "$R/train_student.log" 2>&1
+  fi
+  if [ ! -f "$R/student_std/metadata.json" ]; then
+    echo "=== draw $d: standardized AugMix-KD nano student (predictor)"
+    python -m fav_tpu.models.pretrain --distill-ensemble --augmix --standardize \
+      --widths 16,32,64 --steps 3000 --megastep 100 \
+      --teacher "$R/ensemble" --out "$R/student_std" > "$R/train_student_std.log" 2>&1
+  fi
+  if [ ! -f "$R/classifier_occl/metadata.json" ]; then
+    echo "=== draw $d: occlusion classifier (comparator)"
+    python -m fav_tpu.models.pretrain --occlude --steps 3000 --megastep 100 \
+      --out "$R/classifier_occl" > "$R/train_occl.log" 2>&1
+  fi
   echo "=== draw $d: grids"
+  [ -f "$R/grid_student.json" ] || \
   python -m fav_tpu.models.evaluate --checkpoint "$R/student_nano" \
     --out "$R/grid_student.json" > "$R/eval_student.log" 2>&1
+  [ -f "$R/grid_occl.json" ] || \
   python -m fav_tpu.models.evaluate --checkpoint "$R/classifier_occl" \
     --out "$R/grid_occl.json" > "$R/eval_occl.log" 2>&1
   # the SHIPPED preset pairing: std predictor min-gated by nano monitor
+  [ -f "$R/grid_std_gated.json" ] || \
   python -m fav_tpu.models.evaluate --checkpoint "$R/student_std" \
     --monitor "$R/student_nano" \
     --out "$R/grid_std_gated.json" > "$R/eval_std_gated.log" 2>&1
   # comparator pairing for bar 3
+  [ -f "$R/grid_occl_gated.json" ] || \
   python -m fav_tpu.models.evaluate --checkpoint "$R/classifier_occl" \
     --monitor "$R/student_nano" \
     --out "$R/grid_occl_gated.json" > "$R/eval_occl_gated.log" 2>&1
@@ -55,11 +68,14 @@ run_std2() {
   export FAV_SYNTH_DRAW=$d
   local R=measurements/r5/std2_draw$d
   mkdir -p "$R"
-  echo "=== draw $d: independent-seed standardized monitor (seed 1)"
-  python -m fav_tpu.models.pretrain --distill-ensemble --augmix --standardize \
-    --widths 16,32,64 --steps 3000 --megastep 100 --seed 1 \
-    --teacher "$teacher" --out "$R/student_std2" > "$R/train_std2.log" 2>&1
+  if [ ! -f "$R/student_std2/metadata.json" ]; then
+    echo "=== draw $d: independent-seed standardized monitor (seed 1)"
+    python -m fav_tpu.models.pretrain --distill-ensemble --augmix --standardize \
+      --widths 16,32,64 --steps 3000 --megastep 100 --seed 1 \
+      --teacher "$teacher" --out "$R/student_std2" > "$R/train_std2.log" 2>&1
+  fi
   echo "=== draw $d: std+std2 gated grid"
+  [ -f "$R/grid_std_std2.json" ] || \
   python -m fav_tpu.models.evaluate --checkpoint "$std" \
     --monitor "$R/student_std2" \
     --out "$R/grid_std_std2.json" > "$R/eval_std_std2.log" 2>&1
