@@ -516,6 +516,7 @@ def fused_sweep(
     cells_per_call: int = 0,
     return_probs: bool = False,
     monitor: tuple | None = None,
+    return_rows: Sequence[str] = (),
 ) -> Any:
     """Full grid as ONE compiled program + ONE dispatch (or a few, chunked).
 
@@ -543,6 +544,15 @@ def fused_sweep(
     a list of [B, C] arrays aligned with ``cells`` — the input to conformal
     coverage-under-shift scoring (evaluate ``--conformal``).
 
+    ``return_rows=(name, ...)`` additionally returns the named per-SAMPLE
+    host rows (keys of the ``per_sample`` dict in :func:`_fused_grid`, e.g.
+    ``l1_status``/``l1_anomaly``/``conf``/``correct``) as
+    ``(results, cells, {name: [cells][B] ndarray})`` — no extra device work,
+    the rows already rode the single D2H for finalization. This is the
+    substrate for the policy-space replay
+    (:func:`fav_tpu.core.policy_replay.grid_policy`), which turns each
+    cell's per-sample observations into a trust-engine trajectory.
+
     ``monitor=(mon_apply, mon_params, mon_temperature)`` runs the decoupled
     predictor/monitor deployment (:func:`_fused_grid_monitored`): predictions
     and accuracy come from ``apply_fn``/``params``, the failure score and the
@@ -553,6 +563,8 @@ def fused_sweep(
     """
     if monitor is not None and return_probs:
         raise ValueError("monitor and return_probs are mutually exclusive")
+    if return_rows and return_probs:
+        raise ValueError("return_rows and return_probs are mutually exclusive")
     cells = tuple((str(n), int(s)) for n in corruptions for s in severities)
     step = cells_per_call or len(cells)
     host: dict[str, list] = {}
@@ -578,6 +590,11 @@ def fused_sweep(
         results.setdefault(name, {})[sev] = _finalize_cell(per_sample)
     if return_probs:
         return results, cells, probs_rows
+    if return_rows:
+        missing = [r for r in return_rows if r not in host]
+        if missing:
+            raise KeyError(f"requested rows not in sweep output: {missing}")
+        return results, cells, {r: host[r] for r in return_rows}
     return results
 
 
@@ -621,6 +638,7 @@ def sharded_sweep(
     cells_per_call: int = 0,
     return_probs: bool = False,
     monitor: tuple | None = None,
+    return_rows: Sequence[str] = (),
 ) -> Any:
     """Same grid with images/labels sharded over the mesh's data axis and
     params replicated. The per-cell jitted program is unchanged — XLA inserts
@@ -649,10 +667,12 @@ def sharded_sweep(
     if fused:
         return fused_sweep(
             apply_fn, params, images, labels, key, corruptions, severities,
-            temperature, cells_per_call, return_probs, monitor,
+            temperature, cells_per_call, return_probs, monitor, return_rows,
         )
     if monitor is not None:
         raise ValueError("monitor requires the fused sweep path")
+    if return_rows:
+        raise ValueError("return_rows requires the fused sweep path")
     return corruption_sweep(
         apply_fn, params, images, labels, key, corruptions, severities, temperature
     )
