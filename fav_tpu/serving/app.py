@@ -88,6 +88,7 @@ class ConnectionState:
     analysis_warming: bool = False  # analyzer still compiling (no result yet)
     seen_frame: bool = False  # the video source has produced at least 1 frame
     pending_encoded: "str | None" = None  # newest JPEG, attached by next tick
+    encode_task: "asyncio.Task | None" = None  # in-flight JPEG encode (<=1)
     pipeline_error: "str | None" = None  # last transient pipeline failure
 
     def __post_init__(self):
@@ -123,6 +124,9 @@ class ConnectionState:
         if self.pipeline_task is not None:
             self.pipeline_task.cancel()
             self.pipeline_task = None
+        if self.encode_task is not None:
+            self.encode_task.cancel()
+            self.encode_task = None
         self.pipe_frame_id = 0
         self.last_frame_id = 0
         self.analysis_frame_id = 0
@@ -159,11 +163,12 @@ def _frame_for_model(frame_bgr, size: int):
 
 
 async def _analyze_frame_once(conn: ConnectionState, frame, frame_id: int) -> None:
-    """One frame through analysis + CNN scoring + JPEG encode, CONCURRENTLY
-    (they are mutually independent; over a tunneled TPU each micro-batched
-    device call costs ~30-45 ms round trip — serializing analysis then
-    inference capped a live stream at ~9 Hz, measured). Results land on the
-    connection for the wire tick to stream."""
+    """One frame through analysis + CNN scoring concurrently (mutually
+    independent; over a tunneled TPU each micro-batched device call costs
+    ~30-45 ms round trip — serializing analysis then inference capped a live
+    stream at ~9 Hz, measured), with the JPEG encode detached entirely (see
+    inline note). Results land on the connection for the wire tick to
+    stream."""
 
     async def _analyze():
         with conn.timer.stage("analysis") if conn.timer else contextlib.nullcontext():
@@ -196,15 +201,25 @@ async def _analyze_frame_once(conn: ConnectionState, frame, frame_id: int) -> No
 
     async def _encode():
         with conn.timer.stage("encode") if conn.timer else contextlib.nullcontext():
-            return await asyncio.to_thread(
+            encoded = await asyncio.to_thread(
                 frame_to_base64_jpeg, frame, conn.config.video.jpeg_quality
             )
+        conn.pending_encoded = encoded or conn.pending_encoded
 
-    result, scored, encoded = await asyncio.gather(_analyze(), _infer(), _encode())
+    # JPEG encode is fire-and-forget, at most one in flight: under multi-
+    # client load the host thread pool queues (encode p50 was 93 ms at 8
+    # clients, BENCH.md round 4 — LONGER than the ~32 ms device RTT), and
+    # awaiting it in the gather made the wire's *video* path gate the
+    # fresh-analysis rate. Now a lagging encode just drops that frame from
+    # the wire video (the tick re-sends nothing; staleness stays visible)
+    # while analysis/inference proceed at device rate.
+    if conn.encode_task is None or conn.encode_task.done():
+        conn.encode_task = asyncio.get_running_loop().create_task(_encode())
+
+    result, scored = await asyncio.gather(_analyze(), _infer())
     if scored is not None:
         conn.last_inference = scored
     conn.last_frame_id = frame_id
-    conn.pending_encoded = encoded or conn.pending_encoded
     if result is None:  # analyzer still warming
         conn.analysis_warming = True
         return

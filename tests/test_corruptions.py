@@ -111,7 +111,13 @@ def test_pixelate_reduces_unique_blocks():
 # Same key -> same selected kernel, so equivalence is exact up to float
 # reassociation.
 
-@pytest.mark.parametrize("severity", [1, 2, 3, 4, 5])
+# per-commit gate keeps one severity per corruption (3, mid-table); the full
+# 5-severity equivalence sweep runs in the slow tier (~40 s of compiles on
+# the 1-core CPU box — measured via --durations, VERDICT r4 weak #1)
+@pytest.mark.parametrize(
+    "severity",
+    [pytest.param(s, marks=() if s == 3 else pytest.mark.slow) for s in [1, 2, 3, 4, 5]],
+)
 @pytest.mark.parametrize(
     "name", ["defocus_blur", "motion_blur", "zoom_blur", "snow", "fog", "frost"]
 )

@@ -411,6 +411,7 @@ def test_ensemble_megastep_matches_per_step():
     )
 
 
+@pytest.mark.slow  # ~7 s of model compiles; invariant unchanged per-commit
 def test_standardize_input_affine_invariance():
     """`standardize_input` makes the forward invariant to affine luminance
     maps by construction (round-4 snow pre-registration,

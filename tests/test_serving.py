@@ -605,14 +605,18 @@ def test_tick_live_degraded_wire_field(tmp_path):
         # must NOT reach the trust engine's anomaly score
         conn.last_inference = dict(conn.last_inference, model_anomaly=1.0)
         state = await _tick_live(conn, 1 / 30)
+        # snapshot the analysis this tick consumed BEFORE the next await —
+        # close() yields to the pipeline task, which may complete another
+        # frame and overwrite conn.last_analysis (observed flaky under load)
+        analysis = conn.last_analysis
         await conn.inference.close()
-        return state
+        return state, analysis
 
-    state = asyncio.run(run())
+    state, analysis = asyncio.run(run())
     assert state["model_degraded"] is True
     assert "ml_inference" in state
     # analyzer-only anomaly: the injected 1.0 was excluded
-    assert state["anomaly_score"] == round(conn.last_analysis["anomaly_score"], 6)
+    assert state["anomaly_score"] == round(analysis["anomaly_score"], 6)
     assert state["anomaly_score"] < 1.0
 
 

@@ -85,7 +85,10 @@ def test_inference_service_single_and_batch(tmp_path):
     assert service.source == "random_init"  # no checkpoint in repo during tests
 
 
-@pytest.mark.parametrize("mode", ["mc_dropout", "ensemble"])
+@pytest.mark.parametrize(
+    "mode",
+    ["mc_dropout", pytest.param("ensemble", marks=pytest.mark.slow)],
+)  # ensemble variant is ~6 s of member compiles; mc_dropout covers the path
 def test_inference_service_uncertainty_modes(mode, tmp_path):
     from fav_tpu.serving.inference import InferenceService
 
