@@ -316,9 +316,79 @@ def _glass_kernel(seed_ref, x_ref, out_ref, *, m, iters):
     out_ref[:] = x
 
 
+def _glass_kernel_packed(seed_ref, x_ref, out_ref, *, m, iters, w):
+    """Lane-packed variant of :func:`_glass_kernel`: the block is
+    (nb, C, H, G*W) with G images side by side in the lane dim, so a 32-wide
+    image no longer wastes 3/4 of every 128-lane vreg (the unpacked kernel's
+    dominant cost — all selects/compares ran at 25% lane occupancy).
+
+    The column resample can't use edge-clamped shifts across the packed axis
+    (they'd leak pixels between images); instead the OFFSET is clamped per
+    lane — ``d_eff = clip(code, -j, W-1-j)`` for lane-local column j — which
+    is algebraically the oracle's ``src = clamp(j+d, 0, W-1)``, and then a
+    circular :func:`pltpu.roll` is safe: the clipped offset never crosses a
+    segment boundary, so the wrap-around lanes are never selected. Exactness
+    of the boundary math is pinned packed-vs-unpacked in interpret mode
+    (where the stubbed PRNG makes every draw the extreme offset -m)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:]
+    nb, c, h, gw = x.shape
+    k = 2 * m + 1
+    col = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, gw), 3) % float(w)
+    for _ in range(iters):
+        uy = _uniform01((nb, 1, h, gw))
+        x = _resample_axis(x, uy, m, axis=2)  # rows: H is not packed
+        ux = _uniform01((nb, 1, h, gw))
+        code = jnp.minimum(jnp.floor(ux * k), float(k - 1)) - float(m)
+        d_eff = jnp.clip(code, -col, float(w - 1) - col)
+        acc = jnp.zeros_like(x)
+        for d in range(-m, m + 1):
+            # roll by (-d mod GW) (pltpu.roll wants shift >= 0):
+            # rolled[..., j] == x[..., j + d (mod GW)]; selected only where
+            # j + d_eff stays inside lane j's own W-segment
+            rolled = pltpu.roll(x, (-d) % gw, axis=3)
+            acc = jnp.where(d_eff == float(d), rolled, acc)
+        x = acc
+    out_ref[:] = x
+
+
 def glass_resample_pallas(seed, x, max_delta: int, iters: int, interpret: bool = False):
-    """Pallas iterated local resample on a [B, H, W, C] batch (planar blocks)."""
+    """Pallas iterated local resample on a [B, H, W, C] batch (planar blocks,
+    lane-packed G images per 128-lane vreg when shapes allow)."""
     b, h, w, c = x.shape
+    g = max(1, 128 // w)
+    while g > 1 and b % g:
+        g //= 2
+    if g > 1:
+        nb = max(1, _GLASS_BLOCK // g)  # same images/step as unpacked
+        while nb > 1 and (b // g) % nb:
+            nb //= 2
+        xp = x.astype(jnp.float32).transpose(0, 3, 1, 2)  # (B, C, H, W)
+        xp = (
+            xp.reshape(b // g, g, c, h, w)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(b // g, c, h, g * w)
+        )
+        kernel = functools.partial(
+            _glass_kernel_packed, m=int(max_delta), iters=int(iters), w=w
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=((b // g) // nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((nb, c, h, g * w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nb, c, h, g * w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)), xp)
+        out = (
+            out.reshape(b // g, c, h, g, w)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(b, c, h, w)
+        )
+        return out.transpose(0, 2, 3, 1)
     block = _GLASS_BLOCK
     while block > 1 and b % block:
         block //= 2

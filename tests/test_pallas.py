@@ -198,15 +198,19 @@ def test_fast_corruption_fn_shot_routing():
     assert fn is not corruption_fn("shot_noise")
 
 
-def test_glass_resample_pallas_deterministic_interpret():
+@pytest.mark.parametrize("batch", [8, 3])  # 8 -> lane-packed path (G=4), 3 -> unpacked
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_glass_resample_pallas_deterministic_interpret(batch, m):
     """Interpret mode stubs the PRNG to zeros -> every pass picks offset -m;
     the kernel must then equal an exact edge-clamped (-m, -m) shift chain
     (pins the shift/clamp/select data path; the PRNG statistics are TPU-only
-    and recorded in BENCH.md)."""
+    and recorded in BENCH.md). Batch 8 exercises the lane-packed kernel —
+    with the all--m draws, every lane-segment boundary takes the clipped-
+    offset branch, so this is exactly the cross-image-leak case."""
     from fav_tpu.ops.corruptions_pallas import glass_resample_pallas
 
-    x = jax.random.uniform(jax.random.PRNGKey(5), (8, 32, 32, 3), jnp.float32)
-    m, iters = 2, 3
+    x = jax.random.uniform(jax.random.PRNGKey(5), (batch, 32, 32, 3), jnp.float32)
+    iters = 3
     out = glass_resample_pallas(jnp.int32(5), x, m, iters, interpret=True)
     exp = x
     for _ in range(iters):
@@ -218,6 +222,21 @@ def test_glass_resample_pallas_deterministic_interpret():
             sl[axis] = slice(0, 32)
             exp = ep[tuple(sl)]
     np.testing.assert_allclose(np.asarray(out), np.asarray(exp), atol=1e-6)
+
+
+def test_glass_resample_packed_matches_unpacked_per_image():
+    """The packed driver must be image-wise identical to the unpacked path
+    (interpret mode is deterministic, so each image's result is independent
+    of its batch neighbors — any cross-image lane leak breaks this)."""
+    from fav_tpu.ops.corruptions_pallas import glass_resample_pallas
+
+    x = jax.random.uniform(jax.random.PRNGKey(11), (8, 32, 32, 3), jnp.float32)
+    packed = glass_resample_pallas(jnp.int32(7), x, 2, 2, interpret=True)
+    for i in (0, 3, 7):
+        single = glass_resample_pallas(jnp.int32(7), x[i : i + 1], 2, 2, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(packed[i]), np.asarray(single[0]), atol=1e-6
+        )
 
 
 def test_glass_blur_pallas_interpret_and_table():
