@@ -358,7 +358,7 @@ def glass_resample_pallas(seed, x, max_delta: int, iters: int, interpret: bool =
     b, h, w, c = x.shape
     g = max(1, 128 // w)
     while g > 1 and b % g:
-        g //= 2
+        g -= 1  # any divisor of B packs; partial packing still wins lanes
     if g > 1:
         nb = max(1, _GLASS_BLOCK // g)  # same images/step as unpacked
         while nb > 1 and (b // g) % nb:
@@ -465,6 +465,45 @@ def _elastic_kernel(xpad_ref, dy_ref, dx_ref, out_ref, cols_ref, *, m, h, w):
     out_ref[:] = acc
 
 
+def _elastic_kernel_packed(xpad_ref, dy_ref, dx_ref, out_ref, cols_ref, *, m, h, w):
+    """Lane-packed variant of :func:`_elastic_kernel`: G images share the
+    lane dim in wp-wide segments (wp = w + 2p pad included), lifting lane
+    occupancy from w/128 (25% at w=32) to G*wp/128 (~90%). The column
+    windows become circular :func:`pltpu.roll`s by j+1 — for valid output
+    columns t <= w-1 the source index t+j+1 <= wp-1 stays inside the lane's
+    own segment, so no cross-image leak is ever selected; the pad lanes
+    accumulate garbage and are sliced off outside the kernel. Same tent
+    math, same scratch hoist (n rolls instead of n^2 relayouts)."""
+    n = 2 * m + 2
+    dy = dy_ref[:]  # (nb, 1, h, G*wp) — pad lanes carry garbage
+    dx = dx_ref[:]
+    xpad = xpad_ref[:]  # (nb, c, hp, G*wp)
+    gwp = xpad.shape[3]
+    wxs = []
+    for j, ox in enumerate(range(-m, m + 2)):
+        cols_ref[j] = pltpu.roll(xpad, (gwp - (j + 1)) % gwp, axis=3)
+        wxs.append(jnp.maximum(0.0, 1.0 - jnp.abs(dx - float(ox))))
+    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+    for i in range(n):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - float(i - m)))
+        inner = jnp.zeros_like(acc)
+        for j in range(n):
+            band = cols_ref[j, :, :, i + 1 : i + 1 + h, :]
+            inner = inner + wxs[j] * band
+        acc = acc + wy * inner
+    out_ref[:] = acc
+
+
+def _pack_lanes(a, g, seg):
+    """(B, C, H, seg) -> (B/G, C, H, G*seg): G images side by side in lanes."""
+    b, c, h, _ = a.shape
+    return (
+        a.reshape(b // g, g, c, h, seg)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b // g, c, h, g * seg)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("severity", "interpret"))
 def elastic_transform_pallas(key, x, severity: int = 3, interpret: bool = False):
     """elastic_transform with the warp accumulation as a Pallas kernel.
@@ -472,7 +511,8 @@ def elastic_transform_pallas(key, x, severity: int = 3, interpret: bool = False)
     EXACT equivalence to the oracle (corruptions.elastic_transform): the
     displacement fields use the same ``jax.random`` stream and MXU banded-
     matmul blur outside the kernel; only the tent accumulation moves into
-    VMEM. No hardware PRNG — CPU interpret mode pins the full data path."""
+    VMEM (lane-packed across images when shapes allow). No hardware PRNG —
+    CPU interpret mode pins the full data path."""
     from fav_tpu.ops.corruptions import _ELASTIC_SEV, _elastic_fields, _sev
 
     alpha, _ = _sev(_ELASTIC_SEV, severity)
@@ -489,12 +529,45 @@ def elastic_transform_pallas(key, x, severity: int = 3, interpret: bool = False)
     xp = jnp.pad(
         x.astype(jnp.float32), ((0, 0), (p, p), (p, p), (0, 0)), mode="edge"
     ).transpose(0, 3, 1, 2)  # (B, C, H+2p, W+2p)
+    hp, wp = h + 2 * p, w + 2 * p
+
+    g = max(1, 128 // wp)
+    while g > 1 and b % g:
+        g -= 1  # any divisor of B packs; G=2 still doubles lane occupancy
+    if g > 1:
+        # lane-packed path: G wp-wide segments per vreg (see
+        # _elastic_kernel_packed); dy/dx pad out to wp per segment so every
+        # operand shares one lane layout, valid w lanes sliced at the end
+        nb = max(1, _ELASTIC_BLOCK // g)
+        while nb > 1 and (b // g) % nb:
+            nb //= 2
+        dyp = jnp.pad(dy.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 2 * p)))
+        dxp = jnp.pad(dx.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 2 * p)))
+        kernel = functools.partial(_elastic_kernel_packed, m=m, h=h, w=w)
+        out = pl.pallas_call(
+            kernel,
+            grid=((b // g) // nb,),
+            in_specs=[
+                pl.BlockSpec((nb, c, hp, g * wp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 1, h, g * wp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 1, h, g * wp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nb, c, h, g * wp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b // g, c, h, g * wp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2 * m + 2, nb, c, hp, g * wp), jnp.float32)],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(_pack_lanes(xp, g, wp), _pack_lanes(dyp, g, wp), _pack_lanes(dxp, g, wp))
+        out = (
+            out.reshape(b // g, c, h, g, wp)[..., :w]
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(b, c, h, w)
+        )
+        return out.transpose(0, 2, 3, 1)
 
     block = _ELASTIC_BLOCK
     while block > 1 and b % block:
         block //= 2
     kernel = functools.partial(_elastic_kernel, m=m, h=h, w=w)
-    hp, wp = h + 2 * p, w + 2 * p
     out = pl.pallas_call(
         kernel,
         grid=(b // block,),

@@ -261,13 +261,17 @@ def test_fast_corruption_fn_glass_routing():
 
 
 @pytest.mark.slow
-def test_elastic_pallas_exact_equivalence():
+@pytest.mark.parametrize("batch", [8, 6])  # 8 -> unpacked (G=3 rejected), 6 -> lane-packed
+def test_elastic_pallas_exact_equivalence(batch):
     """elastic_transform_pallas is EXACT vs the jnp oracle (same jax.random
     field stream outside the kernel; the VMEM tent accumulation is the same
-    math — measured max |diff| 0.0 on TPU, float-assoc tolerance here)."""
+    math — measured max |diff| 0.0 on TPU, float-assoc tolerance here).
+    Batch 6 routes through the lane-packed kernel (3 wp-wide segments per
+    vreg), so cross-image roll selection and the pad-lane slice are pinned
+    against the oracle too."""
     from fav_tpu.ops.corruptions_pallas import elastic_transform_pallas
 
-    x = jax.random.uniform(jax.random.PRNGKey(4), (8, 32, 32, 3), jnp.float32)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (batch, 32, 32, 3), jnp.float32)
     for sev in (1, 3, 5):
         key = jax.random.PRNGKey(sev)
         got = elastic_transform_pallas(key, x, sev, interpret=True)
