@@ -352,11 +352,13 @@ def _glass_kernel_packed(seed_ref, x_ref, out_ref, *, m, iters, w):
     out_ref[:] = x
 
 
-def glass_resample_pallas(seed, x, max_delta: int, iters: int, interpret: bool = False):
+def glass_resample_pallas(seed, x, max_delta: int, iters: int, interpret: bool = False,
+                          packed: bool = True):
     """Pallas iterated local resample on a [B, H, W, C] batch (planar blocks,
-    lane-packed G images per 128-lane vreg when shapes allow)."""
+    lane-packed G images per 128-lane vreg when shapes allow).
+    ``packed=False`` forces the unpacked kernel (A/B instrumentation)."""
     b, h, w, c = x.shape
-    g = max(1, 128 // w)
+    g = max(1, 128 // w) if packed else 1
     while g > 1 and b % g:
         g -= 1  # any divisor of B packs; partial packing still wins lanes
     if g > 1:
@@ -408,8 +410,9 @@ def glass_resample_pallas(seed, x, max_delta: int, iters: int, interpret: bool =
     return out.transpose(0, 2, 3, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
-def glass_blur_pallas(seed, x, severity: int = 3, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("severity", "interpret", "packed"))
+def glass_blur_pallas(seed, x, severity: int = 3, interpret: bool = False,
+                      packed: bool = True):
     """glass_blur with the resample iterations as a Pallas kernel (oracle:
     corruptions.glass_blur). The two Gaussian blurs stay XLA separable convs
     — that is the MXU-correct tool; Pallas replaces only the PRNG-driven
@@ -421,7 +424,7 @@ def glass_blur_pallas(seed, x, severity: int = 3, interpret: bool = False):
     # convs are VPU scalar work (same finding as the defocus/motion/zoom
     # rewrites below); bitwise-equal to gaussian_blur up to reassociation
     y = gaussian_blur_matmul(x.astype(jnp.float32), sigma)
-    y = glass_resample_pallas(seed, y, m, iters, interpret)
+    y = glass_resample_pallas(seed, y, m, iters, interpret, packed)
     return jnp.clip(gaussian_blur_matmul(y, sigma), 0.0, 1.0)
 
 
@@ -504,8 +507,9 @@ def _pack_lanes(a, g, seg):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("severity", "interpret"))
-def elastic_transform_pallas(key, x, severity: int = 3, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("severity", "interpret", "packed"))
+def elastic_transform_pallas(key, x, severity: int = 3, interpret: bool = False,
+                             packed: bool = True):
     """elastic_transform with the warp accumulation as a Pallas kernel.
 
     EXACT equivalence to the oracle (corruptions.elastic_transform): the
@@ -531,7 +535,7 @@ def elastic_transform_pallas(key, x, severity: int = 3, interpret: bool = False)
     ).transpose(0, 3, 1, 2)  # (B, C, H+2p, W+2p)
     hp, wp = h + 2 * p, w + 2 * p
 
-    g = max(1, 128 // wp)
+    g = max(1, 128 // wp) if packed else 1
     while g > 1 and b % g:
         g -= 1  # any divisor of B packs; G=2 still doubles lane occupancy
     if g > 1:
