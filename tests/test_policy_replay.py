@@ -134,6 +134,45 @@ def test_grid_policy_tiles_short_batches():
     assert out[0]["policy_share_vision_allowed"] == 1.0
 
 
+def test_monitored_sweep_rows_feed_grid_policy():
+    """The run_policy.sh composition end-to-end at the sweep level: a
+    monitored fused sweep's return_rows feed grid_policy, and min-gating by
+    a weak monitor can only lower the reliability floor (anomaly is
+    monotone in the operative-confidence deficit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fav_tpu.config import ModelParams
+    from fav_tpu.data.cifar import synthetic_cifar10
+    from fav_tpu.models.cnn import create_model
+    from fav_tpu.parallel.sweep import fused_sweep
+
+    model = create_model(ModelParams(widths=(8, 16), dense_width=16))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    mon = create_model(ModelParams(widths=(4, 8), dense_width=8))
+    mon_params = mon.init(jax.random.PRNGKey(4), jnp.zeros((1, 32, 32, 3)))
+    ds = synthetic_cifar10(train_size=8, test_size=64, seed=4)
+    x, y = jnp.asarray(ds.test_images), jnp.asarray(ds.test_labels)
+    want_rows = ("l1_status", "l1_anomaly", "conf", "correct", "mon_conf")
+    results, cells, rows = fused_sweep(
+        model.apply, params, x, y, jax.random.PRNGKey(17),
+        ("contrast",), (2, 5), temperature=1.1,
+        monitor=(mon.apply, mon_params, 0.9), return_rows=want_rows,
+    )
+    assert set(rows) == set(want_rows)
+    pol = grid_policy(cells, rows, ticks=90)
+    assert len(pol) == len(cells)
+    ungated = grid_policy(
+        cells, {k: v for k, v in rows.items() if k != "mon_conf"}, ticks=90
+    )
+    for gated_row, plain_row in zip(pol, ungated):
+        assert gated_row["min_reliability"] <= plain_row["min_reliability"] + 1e-9
+        shares = sum(
+            gated_row[f"policy_share_{s.lower()}"] for s in POLICY_NAMES
+        )
+        assert shares == pytest.approx(1.0, abs=1e-9)
+
+
 @pytest.mark.slow
 def test_evaluate_cli_policy_smoke(tmp_path):
     """evaluate --policy on a 2-corruption subset: per-cell policy columns
