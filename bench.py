@@ -11,6 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -60,7 +61,8 @@ if not os.path.isdir(STUDENT_CKPT):
     STUDENT_CKPT = os.path.join(_CKPT_ROOT, "student_compact")
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    ab_packed = "--ab-packed" in (argv if argv is not None else sys.argv[1:])
     import jax
 
     # persistent compilation cache: the driver re-runs this every round
@@ -102,25 +104,38 @@ def main() -> None:
     # ONE fused program runs the batch through every cell: per-call dispatch
     # over the tunneled backend costs ~10 ms, so splitting cells into separate
     # jitted calls caps throughput at ~180k img/s; fusing lifts it past 300k.
-    fns = [(corruption_fn(name), severity) for name, severity in BENCH_CELLS]
+    def cell_fns(packed: bool = True):
+        out = []
+        for name, severity in BENCH_CELLS:
+            fn = corruption_fn(name)
+            if not packed and name in ("glass_blur", "elastic_transform"):
+                # A/B instrumentation: force the pre-round-5 unpacked kernels
+                fn = functools.partial(fn, packed=False)
+            out.append((fn, severity))
+        return out
 
-    @jax.jit
-    def megastep(variables, images, key):
-        keys = jax.random.split(key, len(fns))
-        confs, anoms, fails = [], [], []
-        for (fn, severity), k in zip(fns, keys):
-            corrupted = fn(k, images, severity)
-            logits = model.apply(variables, corrupted)
-            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
-            confs.append(jnp.mean(conf))
-            anoms.append(jnp.mean(anomaly_from_confidence(conf)))
-            fails.append(jnp.mean((conf < 0.5).astype(jnp.float32)))
-        # ONE packed output: every extra device-buffer handle returned per
-        # call costs tunnel chatter (~10 ms each, measured — the dict-of-3-
-        # scalars return ran ~120 ms/megastep vs 88 ms packed, same program)
-        return jnp.stack(
-            [jnp.stack(confs).mean(), jnp.stack(anoms).mean(), jnp.stack(fails).mean()]
-        )
+    def make_megastep(fns):
+        @jax.jit
+        def megastep(variables, images, key):
+            keys = jax.random.split(key, len(fns))
+            confs, anoms, fails = [], [], []
+            for (fn, severity), k in zip(fns, keys):
+                corrupted = fn(k, images, severity)
+                logits = model.apply(variables, corrupted)
+                conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+                confs.append(jnp.mean(conf))
+                anoms.append(jnp.mean(anomaly_from_confidence(conf)))
+                fails.append(jnp.mean((conf < 0.5).astype(jnp.float32)))
+            # ONE packed output: every extra device-buffer handle returned per
+            # call costs tunnel chatter (~10 ms each, measured — the dict-of-3-
+            # scalars return ran ~120 ms/megastep vs 88 ms packed, same program)
+            return jnp.stack(
+                [jnp.stack(confs).mean(), jnp.stack(anoms).mean(), jnp.stack(fails).mean()]
+            )
+
+        return megastep
+
+    megastep = make_megastep(cell_fns())
 
     # warmup / compile. NOTE: on the tunneled TPU backend block_until_ready
     # returns early — a device->host scalar fetch (float()) is the only
@@ -131,6 +146,29 @@ def main() -> None:
         out = megastep(variables, images, sub)
     float(out[0])
 
+    if ab_packed:
+        # interleaved same-session A/B (CLAUDE.md rule): packed vs unpacked
+        # glass/elastic inside the otherwise identical megastep
+        mega_unpacked = make_megastep(cell_fns(packed=False))
+        k, sub = jax.random.split(k)
+        float(mega_unpacked(variables, images, sub)[0])  # compile arm B
+        times = {"packed": [], "unpacked": []}
+        for _ in range(ITERS):
+            for arm, fn in (("packed", megastep), ("unpacked", mega_unpacked)):
+                k, sub = jax.random.split(k)
+                t0 = time.perf_counter()
+                float(fn(variables, images, sub)[0])
+                times[arm].append(time.perf_counter() - t0)
+        report = {}
+        for arm, ts in times.items():
+            med = sorted(ts)[len(ts) // 2]
+            report[arm] = {
+                "ms_per_megastep": round(med * 1e3, 1),
+                "img_per_sec": round(BATCH * len(BENCH_CELLS) / med, 1),
+            }
+        print(json.dumps({"ab_packed": report, "batch": BATCH, "iters": ITERS}))
+        return
+
     # timed: accumulate a scalar on device, fetch once to close the chain
     t0 = time.perf_counter()
     total_images = 0
@@ -139,7 +177,7 @@ def main() -> None:
         k, sub = jax.random.split(k)
         out = megastep(variables, images, sub)
         acc = out if acc is None else acc + out
-        total_images += BATCH * len(fns)
+        total_images += BATCH * len(BENCH_CELLS)
     float(acc[0])  # D2H sync: everything above must have executed
     elapsed = time.perf_counter() - t0
 
