@@ -192,9 +192,10 @@ async def _analyze_frame_once(conn: ConnectionState, frame, frame_id: int) -> No
         if conn.inference is None:
             return None
         with conn.timer.stage("inference") if conn.timer else contextlib.nullcontext():
-            small = await asyncio.to_thread(
-                _frame_for_model, frame, conn.config.model.image_size
-            )
+            # the 32x32 INTER_AREA resize is ~50 us of C work — cheaper than
+            # a thread-pool round trip, which queued to ~ms under 8-client
+            # load (the encode path's round-4 lesson, BENCH.md)
+            small = _frame_for_model(frame, conn.config.model.image_size)
             # non-blocking while the model warms up: the 30 Hz heartbeat
             # must not stall behind the first compile
             return await conn.inference.maybe_score_frame(small)
