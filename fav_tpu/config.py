@@ -233,6 +233,11 @@ class ServerParams:
     # micro-batch frame analysis across connections (one device call for N
     # live streams instead of N calls; fav_tpu/serving/analysis.py)
     batched_analysis: bool = True
+    # A/B arm only (FAV_SERVER_ENCODE_SYNC=1): await the JPEG encode inside
+    # the per-frame gather — the round-4 behavior whose thread-pool queueing
+    # (encode p50 93 ms at 8 clients) gated the fresh-analysis rate. The
+    # shipped path fire-and-forgets encode with <=1 in flight (serving/app.py).
+    encode_sync: bool = False
     # horizontal scale-out: N serving processes sharing one port via
     # SO_REUSEPORT (the kernel load-balances accepts) and one TPU chip via
     # their own tunnel clients. The measured single-process ceiling is the

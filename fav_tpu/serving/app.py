@@ -214,10 +214,13 @@ async def _analyze_frame_once(conn: ConnectionState, frame, frame_id: int) -> No
     # fresh-analysis rate. Now a lagging encode just drops that frame from
     # the wire video (the tick re-sends nothing; staleness stays visible)
     # while analysis/inference proceed at device rate.
-    if conn.encode_task is None or conn.encode_task.done():
-        conn.encode_task = asyncio.get_running_loop().create_task(_encode())
-
-    result, scored = await asyncio.gather(_analyze(), _infer())
+    # FAV_SERVER_ENCODE_SYNC=1 restores the awaited arm for same-session A/Bs.
+    if conn.config.server.encode_sync:
+        result, scored, _ = await asyncio.gather(_analyze(), _infer(), _encode())
+    else:
+        if conn.encode_task is None or conn.encode_task.done():
+            conn.encode_task = asyncio.get_running_loop().create_task(_encode())
+        result, scored = await asyncio.gather(_analyze(), _infer())
     if scored is not None:
         conn.last_inference = scored
     conn.last_frame_id = frame_id
