@@ -146,11 +146,51 @@ def part_b():
     }
 
 
+def part_c():
+    """Conditional stage (pre-registered): if part B wins on draws 0/1/2, the
+    std+std2 pairing must ALSO pass part A's bars 1-3 on the held-out draws
+    (per-draw std2 monitor, tools/run_heldout.sh C) before it may replace the
+    shipped monitor. Bars identical to part A, on the std+std2 grids."""
+    draws = {}
+    all_present = True
+    for d in HELDOUT_DRAWS:
+        std2 = _load(f"measurements/r5/std2_draw{d}/grid_std_std2.json")
+        occl_gated = _load(f"measurements/r5/draw{d}/grid_occl_gated.json")
+        if std2 is None or occl_gated is None:
+            draws[d] = {"status": "grids missing"}
+            all_present = False
+            continue
+        cw = confident_wrong(std2)
+        means = grid_means(std2, ("ece_gated", "ece_self", "accuracy"))
+        occl_acc = grid_means(occl_gated, ("accuracy",))["accuracy"]
+        bar1 = len(cw) <= 2
+        bar2 = means["ece_gated"] < means["ece_self"]
+        bar3 = means["accuracy"] >= occl_acc - 0.035
+        draws[d] = {
+            "bar1_honesty": {"pass": bar1, "confident_wrong": cw},
+            "bar2_gate_ece": {"pass": bar2,
+                              "ece_gated": round(means["ece_gated"], 4),
+                              "ece_self": round(means["ece_self"], 4)},
+            "bar3_acc_margin": {"pass": bar3,
+                                "acc_gated": round(means["accuracy"], 4),
+                                "acc_occl_gated": round(occl_acc, 4),
+                                "margin": round(means["accuracy"] - occl_acc, 4)},
+            "all_bars": bar1 and bar2 and bar3,
+        }
+    verdict = (
+        "INCOMPLETE" if not all_present
+        else ("std2 PASSES held-out bars — replacement allowed"
+              if all(draws[d]["all_bars"] for d in HELDOUT_DRAWS)
+              else "std2 FAILS held-out bars — shipped monitor stands")
+    )
+    return {"verdict": verdict, "draws": draws}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args(argv)
-    report = {"part_a": part_a(), "part_b": part_b()}
+    report = {"part_a": part_a(), "part_b": part_b(), "part_c": part_c()}
     print(json.dumps(report, indent=2))
     if args.json:
         with open(args.json, "w") as f:

@@ -93,4 +93,13 @@ case "${1:-A}" in
     run_std2 2 measurements/r4/draw2/ensemble measurements/r4/draw2/student_std
     echo "PART B DONE"
     ;;
+  C)
+    # Conditional stage, pre-registered (preset_prereg.md "Secondary arm"):
+    # run ONLY if part B wins on all of draws 0/1/2 — the std+std2 pairing
+    # must then also pass bars 1-3 on the held-out draws (with a per-draw
+    # std2 monitor) before it may replace the shipped monitor.
+    run_std2 3 measurements/r5/draw3/ensemble measurements/r5/draw3/student_std
+    run_std2 4 measurements/r5/draw4/ensemble measurements/r5/draw4/student_std
+    echo "PART C DONE"
+    ;;
 esac
