@@ -334,7 +334,11 @@ def _glass_kernel_packed(seed_ref, x_ref, out_ref, *, m, iters, w):
     x = x_ref[:]
     nb, c, h, gw = x.shape
     k = 2 * m + 1
-    col = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, gw), 3) % float(w)
+    # Mosaic's tpu.iota is integer-only — build the lane index as int32 and
+    # cast (CPU interpret mode accepts a float iota; hardware rejects it)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, gw), 3) % w).astype(
+        jnp.float32
+    )
     for _ in range(iters):
         uy = _uniform01((nb, 1, h, gw))
         x = _resample_axis(x, uy, m, axis=2)  # rows: H is not packed
@@ -758,7 +762,9 @@ def fast_corruption_fn(name: str):
     if name == "contrast":
         return lambda key, x, severity: contrast_pallas(_key_to_seed(key), x, severity)
     if name == "glass_blur":
-        return lambda key, x, severity: glass_blur_pallas(_key_to_seed(key), x, severity)
+        # forwards packed= so bench.py --ab-packed can force the unpacked arm
+        return lambda key, x, severity, packed=True: glass_blur_pallas(
+            _key_to_seed(key), x, severity, packed=packed)
     if name == "elastic_transform":
         # takes the jax.random key directly — fields use the oracle's stream,
         # so this route is EXACTLY the jnp cell (max |diff| 0.0 on TPU)
