@@ -357,10 +357,13 @@ def _glass_kernel_packed(seed_ref, x_ref, out_ref, *, m, iters, w):
 
 
 def glass_resample_pallas(seed, x, max_delta: int, iters: int, interpret: bool = False,
-                          packed: bool = True):
-    """Pallas iterated local resample on a [B, H, W, C] batch (planar blocks,
-    lane-packed G images per 128-lane vreg when shapes allow).
-    ``packed=False`` forces the unpacked kernel (A/B instrumentation)."""
+                          packed: bool = False):
+    """Pallas iterated local resample on a [B, H, W, C] batch (planar blocks).
+
+    ``packed=True`` lane-packs G images per 128-lane vreg — measured NEGATIVE
+    at megastep level (869k vs 903k img/s unpacked, interleaved same-session
+    A/B, BENCH.md round 5): the HBM pack/unpack transposes cost more than the
+    lane-occupancy win. Kept for the A/B record; default ships unpacked."""
     b, h, w, c = x.shape
     g = max(1, 128 // w) if packed else 1
     while g > 1 and b % g:
@@ -416,7 +419,7 @@ def glass_resample_pallas(seed, x, max_delta: int, iters: int, interpret: bool =
 
 @functools.partial(jax.jit, static_argnames=("severity", "interpret", "packed"))
 def glass_blur_pallas(seed, x, severity: int = 3, interpret: bool = False,
-                      packed: bool = True):
+                      packed: bool = False):
     """glass_blur with the resample iterations as a Pallas kernel (oracle:
     corruptions.glass_blur). The two Gaussian blurs stay XLA separable convs
     — that is the MXU-correct tool; Pallas replaces only the PRNG-driven
@@ -513,7 +516,7 @@ def _pack_lanes(a, g, seg):
 
 @functools.partial(jax.jit, static_argnames=("severity", "interpret", "packed"))
 def elastic_transform_pallas(key, x, severity: int = 3, interpret: bool = False,
-                             packed: bool = True):
+                             packed: bool = False):
     """elastic_transform with the warp accumulation as a Pallas kernel.
 
     EXACT equivalence to the oracle (corruptions.elastic_transform): the
@@ -763,7 +766,7 @@ def fast_corruption_fn(name: str):
         return lambda key, x, severity: contrast_pallas(_key_to_seed(key), x, severity)
     if name == "glass_blur":
         # forwards packed= so bench.py --ab-packed can force the unpacked arm
-        return lambda key, x, severity, packed=True: glass_blur_pallas(
+        return lambda key, x, severity, packed=False: glass_blur_pallas(
             _key_to_seed(key), x, severity, packed=packed)
     if name == "elastic_transform":
         # takes the jax.random key directly — fields use the oracle's stream,
